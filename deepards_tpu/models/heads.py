@@ -1,0 +1,136 @@
+"""Composite networks: CNN backbone + classification/regression heads.
+
+Capability parity with the reference's head zoo
+(reference: deepards/models/torch_cnn_linear_network.py,
+torch_cnn_bm_regressor.py, torch_metadata_only_network.py).
+
+TPU-native shift: the reference loops Python-level over the batch calling
+the backbone once per sample (torch_cnn_linear_network.py:104-113 — its #1
+hot-loop inefficiency).  Here every head folds (batch, windows) into one
+(B*S) super-batch and runs the backbone as a single batched XLA conv
+program on the MXU.
+"""
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _window_features(breath_block, x, deterministic):
+    """(B, S, C, L) -> (B, S, F): one batched backbone call over B*S."""
+    b, s, c, l = x.shape
+    feats = breath_block(x.reshape(b * s, c, l), deterministic)
+    return feats.reshape(b, s, -1)
+
+
+class CNNLinearNetwork(nn.Module):
+    """Flatten all window features -> one Linear -> (B, 2) logits.
+    The headline model (reference: torch_cnn_linear_network.py:92-113)."""
+
+    breath_block: nn.Module
+    metadata_features: int = 0
+
+    @nn.compact
+    def __call__(self, x, metadata=None, deterministic=False):
+        feats = _window_features(self.breath_block, x, deterministic)
+        b = feats.shape[0]
+        flat = feats.reshape(b, -1)
+        if self.metadata_features and metadata is not None:
+            flat = jnp.concatenate(
+                [flat, metadata.reshape(b, -1)], axis=-1
+            )
+        return nn.Dense(2)(flat)
+
+
+class CNNDoubleLinearNetwork(nn.Module):
+    """Per-window Linear(F,2) then Linear over the flattened window logits
+    (reference: torch_cnn_linear_network.py:70-89)."""
+
+    breath_block: nn.Module
+    metadata_features: int = 0
+
+    @nn.compact
+    def __call__(self, x, metadata=None, deterministic=False):
+        feats = _window_features(self.breath_block, x, deterministic)
+        b, s, _ = feats.shape
+        inter = nn.Dense(2)(feats)  # (B, S, 2)
+        flat = inter.reshape(b, -1)
+        if self.metadata_features and metadata is not None:
+            flat = jnp.concatenate([flat, metadata.reshape(b, -1)], axis=-1)
+        return nn.Dense(2)(flat)
+
+
+class CNNSingleBreathLinearNetwork(nn.Module):
+    """Per-window logits (B, S, 2) for the per-breath classifier mixin
+    (reference: torch_cnn_linear_network.py:49-67)."""
+
+    breath_block: nn.Module
+
+    @nn.compact
+    def __call__(self, x, metadata=None, deterministic=False):
+        feats = _window_features(self.breath_block, x, deterministic)
+        return nn.Dense(2)(feats)
+
+
+class CNNLinearToMean(nn.Module):
+    """Mean-pool window features -> Linear
+    (reference: torch_cnn_linear_network.py:7-25)."""
+
+    breath_block: nn.Module
+
+    @nn.compact
+    def __call__(self, x, metadata=None, deterministic=False):
+        feats = _window_features(self.breath_block, x, deterministic)
+        return nn.Dense(2)(feats.mean(axis=1))
+
+
+class CNNLinearComprToRF(nn.Module):
+    """Median-pool window features -> Linear
+    (reference: torch_cnn_linear_network.py:28-46)."""
+
+    breath_block: nn.Module
+
+    @nn.compact
+    def __call__(self, x, metadata=None, deterministic=False):
+        feats = _window_features(self.breath_block, x, deterministic)
+        return nn.Dense(2)(jnp.median(feats, axis=1))
+
+
+class CNNRegressor(nn.Module):
+    """Per-breath regression head for breath-meta pretraining
+    (reference: torch_cnn_bm_regressor.py:6-19; n_outputs set by dataset
+    type, train_ards_detector.py:99-104)."""
+
+    breath_block: nn.Module
+    n_outputs: int = 9
+
+    @nn.compact
+    def __call__(self, x, metadata=None, deterministic=False):
+        feats = _window_features(self.breath_block, x, deterministic)
+        b = feats.shape[0]
+        return nn.Dense(self.n_outputs)(feats.reshape(b, -1))
+
+
+class MetadataOnlyNetwork(nn.Module):
+    """3-layer MLP over mean breath-meta
+    (reference: torch_metadata_only_network.py:9-26)."""
+
+    @nn.compact
+    def __call__(self, x, metadata=None, deterministic=False):
+        # metadata: (B, 2, 9) mean+median rows -> mean row
+        h = metadata[:, 0]
+        h = nn.relu(nn.Dense(64)(h))
+        h = nn.relu(nn.Dense(64)(h))
+        return nn.Dense(2)(h)
+
+
+class AutoencoderNetwork(nn.Module):
+    """Reconstruction network: loss compares output to input
+    (reference: models/autoencoder_network.py:4-16,
+    train_ards_detector.py:1112-1113)."""
+
+    breath_block: nn.Module  # an AutoencoderCNN
+
+    @nn.compact
+    def __call__(self, x, metadata=None, deterministic=False):
+        b, s, c, l = x.shape
+        out = self.breath_block(x.reshape(b * s, c, l), deterministic)
+        return out.reshape(b, s, c, l)

@@ -1,0 +1,67 @@
+"""Device mesh, sharding specs, and host-gather helpers.
+
+The distributed-communication layer of the framework (SURVEY.md §2.11):
+single-slice data parallelism via GSPMD — batches are sharded over the
+``data`` mesh axis, parameters are replicated (optionally sharded over
+``model`` for the wide final Linear), and XLA inserts the gradient
+all-reduce over ICI.  This replaces the reference's ``nn.DataParallel``
+single-process replication (reference: deepards/train_ards_detector.py:96).
+"""
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(dp_devices=-1, model_devices=1, devices=None):
+    """Build a (data, model) mesh.  dp_devices=-1 uses all local devices
+    divided by model_devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp_devices == -1:
+        dp_devices = n // model_devices
+    use = dp_devices * model_devices
+    grid = np.asarray(devices[:use]).reshape(dp_devices, model_devices)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh):
+    """Shard leading (batch) axis over data; replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh, batch):
+    """Place a pytree of host arrays with batch-axis sharding.  Pads the
+    batch up to a multiple of the dp size if needed (returns the pad mask
+    so loss/metrics can ignore padded rows)."""
+    dp = mesh.shape[DATA_AXIS]
+    leaves = jax.tree_util.tree_leaves(batch)
+    b = leaves[0].shape[0]
+    pad = (-b) % dp
+    if pad:
+        batch = jax.tree_util.tree_map(
+            lambda x: np.concatenate(
+                [x, np.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+            ),
+            batch,
+        )
+    mask = np.ones(b + pad, dtype=np.float32)
+    if pad:
+        mask[b:] = 0.0
+    sharding = batch_sharding(mesh)
+    out = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+    mask = jax.device_put(mask, sharding)
+    return out, mask
+
+
+def replicate_tree(mesh, tree):
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

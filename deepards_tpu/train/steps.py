@@ -1,0 +1,147 @@
+"""Jit-compiled train/eval steps and optimizer construction.
+
+The reference's per-batch loop body (forward, loss, backward, clamp-hooked
+grads, SGD step; reference: deepards/train_ards_detector.py:139-173,
+416-422, 474-477) becomes one donated, jitted XLA program.  Gradient
+clamping is elementwise (optax.clip == the reference's per-parameter
+``clamp`` hook) and runs BEFORE coupled weight decay, matching hook-then-
+optimizer ordering.
+"""
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    rng: Any
+    step: jnp.ndarray
+
+    def replace_params(self, params, opt_state, rng):
+        return self.replace(
+            params=params, opt_state=opt_state, rng=rng, step=self.step + 1
+        )
+
+
+def make_optimizer(
+    optimizer="sgd",
+    learning_rate=0.001,
+    weight_decay=0.0001,
+    clip_grad=False,
+    clip_val=0.01,
+):
+    """(reference: train_ards_detector.py:416-422 optimizer;
+    :474-477 clamp hooks)."""
+    chain = []
+    if clip_grad:
+        chain.append(optax.clip(clip_val))
+    if optimizer == "sgd":
+        # torch coupled weight decay: grad += wd * param, then momentum
+        chain.append(optax.add_decayed_weights(weight_decay))
+        chain.append(
+            optax.sgd(learning_rate, momentum=0.9, nesterov=True)
+        )
+    elif optimizer == "adam":
+        chain.append(optax.adam(learning_rate))
+    else:
+        raise ValueError("unknown optimizer: {}".format(optimizer))
+    return optax.chain(*chain)
+
+
+def create_train_state(model, tx, sample_batch, rng, has_metadata=False):
+    init_rng, dropout_rng, state_rng = jax.random.split(rng, 3)
+    metadata = sample_batch.get("metadata") if has_metadata else None
+    variables = model.init(
+        {"params": init_rng, "dropout": dropout_rng},
+        jnp.asarray(sample_batch["data"]),
+        metadata if metadata is None else jnp.asarray(metadata),
+        True,  # deterministic at init: no dropout masks needed
+    )
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        rng=state_rng,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _maybe_cast(tree, dtype):
+    if dtype is None:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
+def make_train_step(
+    model,
+    tx,
+    loss_fn: Callable,
+    target_mode: str = "per_sample",
+    transform: Optional[Callable] = None,
+    compute_dtype=None,
+    dropout_active: bool = True,
+):
+    """Build the jitted train step.
+
+    target_mode:
+    - 'per_sample': logits (B,2) vs target (B,2) (cnn_linear family)
+    - 'per_breath': logits (B,S,2) vs target repeated over windows
+      (reference: train_ards_detector.py:540-543)
+    - 'regression': direct pred-vs-target
+    - 'autoencoder': pred vs transformed input
+    transform: the device-side normalization pipeline applied to raw data.
+    """
+
+    def loss_wrap(params, batch, mask, dropout_rng):
+        data = batch["data"]
+        if transform is not None:
+            data = transform(data)
+        data = _maybe_cast(data, compute_dtype)
+        params_c = _maybe_cast(params, compute_dtype)
+        out = model.apply(
+            {"params": params_c},
+            data,
+            batch.get("metadata"),
+            not dropout_active,
+            rngs={"dropout": dropout_rng},
+        )
+        out = out.astype(jnp.float32)
+        target = batch["target"]
+        if target_mode == "per_breath":
+            target = jnp.repeat(target[:, None, :], out.shape[1], axis=1)
+        elif target_mode == "autoencoder":
+            target = data.astype(jnp.float32)
+        loss = loss_fn(out, target, mask)
+        return loss, out
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, batch, mask):
+        rng, dropout_rng = jax.random.split(state.rng)
+        (loss, _), grads = jax.value_and_grad(loss_wrap, has_aux=True)(
+            state.params, batch, mask, dropout_rng
+        )
+        grads = _maybe_cast(grads, jnp.float32)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace_params(params, opt_state, rng), loss
+
+    @jax.jit
+    def eval_step(state, batch, mask):
+        # NOTE: dropout stays active and norm uses batch stats at eval —
+        # deliberate parity with the reference, which never calls
+        # model.eval() (reference: train_ards_detector.py:427-448)
+        rng, dropout_rng = jax.random.split(state.rng)
+        loss, out = loss_wrap(state.params, batch, mask, dropout_rng)
+        return state.replace(rng=rng), loss, out
+
+    return train_step, eval_step

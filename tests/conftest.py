@@ -12,6 +12,12 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# this box has 1 CPU core; persist XLA compilations across test runs
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/deepards_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np
 import pytest
