@@ -1,0 +1,419 @@
+"""Fold/epoch training driver.
+
+The reference's ``BaseTraining`` + mixin + per-network trainer-class stack
+(reference: deepards/train_ards_detector.py:73-1405) collapses here into
+one ``Trainer`` driven by declarative ``NetworkSpec``s: per fold it builds
+a fresh model/optimizer state, runs jitted train/eval steps over fixed-
+shape padded batches on the device mesh, collects per-window predictions
+on the host, and feeds the patient-vote aggregation of
+``deepards_tpu.eval.metrics``.
+"""
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from deepards_tpu.data.dataset import ARDSRawDataset
+from deepards_tpu.data.pipeline import BatchPipeline
+from deepards_tpu.eval.metrics import DeepARDSResults
+from deepards_tpu.models.registry import (
+    get_base_network,
+    get_network_spec,
+    metadata_features_for,
+)
+from deepards_tpu.parallel import mesh as mesh_lib
+from deepards_tpu.train import losses as loss_lib
+from deepards_tpu.train.loader import EpochLoader
+from deepards_tpu.train.steps import (
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def r2_score(y_true, y_pred):
+    y_true = np.asarray(y_true, np.float64)
+    y_pred = np.asarray(y_pred, np.float64)
+    ss_res = ((y_true - y_pred) ** 2).sum()
+    ss_tot = ((y_true - y_true.mean(axis=0)) ** 2).sum()
+    return 1.0 - ss_res / ss_tot if ss_tot else 0.0
+
+
+def _pad_batch(batch, batch_size):
+    """Pad a gathered batch dict up to a fixed batch size; returns mask."""
+    b = batch["data"].shape[0]
+    pad = batch_size - b
+    mask = np.ones(batch_size, dtype=np.float32)
+    if pad:
+        mask[b:] = 0.0
+        batch = {
+            k: np.concatenate(
+                [v, np.zeros((pad,) + v.shape[1:], v.dtype)], axis=0
+            )
+            for k, v in batch.items()
+        }
+    return batch, mask
+
+
+class Trainer:
+    """Config-driven experiment runner (the train_and_test surface,
+    reference: train_ards_detector.py:340-378)."""
+
+    def __init__(self, conf, mesh=None, verbose=True):
+        self.conf = conf
+        self.verbose = verbose
+        self.spec = get_network_spec(conf.network)
+        self.mesh = mesh or mesh_lib.make_mesh(
+            dp_devices=conf.get("dp_devices", -1) or -1
+        )
+        self.n_kfolds = (
+            1 if conf.get("bootstrap") else (conf.get("kfolds") or 1)
+        )
+        self.start_time = str(int(time.time()))
+        self.results = DeepARDSResults(
+            self.start_time,
+            conf.get("experiment_name"),
+            results_dir=conf.get("results_dir") or "results",
+            conf=dict(conf.conf),
+        )
+        self.rng = jax.random.PRNGKey(conf.get("seed", 42) or 42)
+        self.host_rng = np.random.default_rng(conf.get("seed", 42) or 42)
+        self.compute_dtype = {
+            "bfloat16": jnp.bfloat16,
+            "float32": None,
+            None: None,
+        }[conf.get("compute_dtype", "bfloat16")]
+
+        if self.spec.kind == "regressor":
+            self.loss_fn = loss_lib.mse
+        elif self.spec.kind == "autoencoder":
+            self.loss_fn = loss_lib.mse
+        else:
+            self.loss_fn = loss_lib.get_classification_loss(
+                conf.get("loss_func", "bce"),
+                valpha=conf.get("valpha", float("inf")) or float("inf"),
+                conf_beta=conf.get("conf_beta", 1.0) or 1.0,
+            )
+
+    # -- datasets -------------------------------------------------------------
+
+    def get_base_datasets(self):
+        """(reference: train_ards_detector.py:189-315)"""
+        conf = self.conf
+        kfold_num = None if not conf.get("kfolds") else 0
+        transforms = self._get_transforms()
+        if conf.get("train_from_pickle"):
+            train_dataset = ARDSRawDataset.from_pickle(
+                conf.train_from_pickle,
+                oversample_minority=bool(conf.get("oversample_minority")),
+                train_patient_fraction=conf.get("train_pt_frac", 1.0),
+                transforms=transforms,
+                undersample_factor=conf.get("undersample_factor", -1),
+                undersample_std_factor=conf.get("undersample_std_factor", 0.2),
+                oversample_all_factor=conf.get("oversample_all_factor", 1.0),
+                butter_low=conf.get("butter_low"),
+                butter_high=conf.get("butter_high"),
+                add_fft=bool(conf.get("with_fft")),
+                only_fft=bool(conf.get("only_fft")),
+                fft_real_only=bool(conf.get("fft_real_only")),
+                random_kfold=bool(conf.get("random_kfold")),
+                bootstrap=bool(conf.get("bootstrap")),
+                post_hoc_downsampling=conf.get("post_hoc_downsampling"),
+                fft_filtering_low=conf.get("fft_filtering_low"),
+                fft_filtering_high=conf.get("fft_filtering_high"),
+                seed=conf.get("seed", 42) or 42,
+            )
+        else:
+            train_dataset = ARDSRawDataset(
+                conf.data_path,
+                conf.experiment_num,
+                conf.cohort_file,
+                conf.n_sub_batches,
+                dataset_type=conf.dataset_type,
+                to_pickle=conf.get("train_to_pickle"),
+                kfold_num=kfold_num,
+                total_kfolds=conf.get("kfolds"),
+                unpadded_downsample_factor=conf.get("downsample_factor", 4.0),
+                oversample_minority=bool(conf.get("oversample_minority")),
+                train_patient_fraction=conf.get("train_pt_frac", 1.0),
+                transforms=transforms,
+                holdout_set_type=conf.get("holdout_set_type", "main"),
+                drop_if_under_r2=conf.get("drop_if_under_r2", 0) or 0,
+                drop_i_lim=bool(conf.get("drop_i_lim")),
+                drop_e_lim=bool(conf.get("drop_e_lim")),
+                truncate_e_lim=conf.get("truncate_e_lim"),
+                undersample_factor=conf.get("undersample_factor", -1),
+                undersample_std_factor=conf.get("undersample_std_factor", 0.2),
+                oversample_all_factor=conf.get("oversample_all_factor", 1.0),
+                butter_low=conf.get("butter_low"),
+                butter_high=conf.get("butter_high"),
+                add_fft=bool(conf.get("with_fft")),
+                only_fft=bool(conf.get("only_fft")),
+                fft_real_only=bool(conf.get("fft_real_only")),
+                random_kfold=bool(conf.get("random_kfold")),
+                bootstrap=bool(conf.get("bootstrap")),
+                post_hoc_downsampling=conf.get("post_hoc_downsampling"),
+                fft_filtering_low=conf.get("fft_filtering_low"),
+                fft_filtering_high=conf.get("fft_filtering_high"),
+                seed=conf.get("seed", 42) or 42,
+            )
+        self.n_sub_batches = train_dataset.n_sub_batches
+
+        if conf.get("kfolds"):
+            test_dataset = ARDSRawDataset.make_test_dataset_if_kfold(
+                train_dataset
+            )
+        elif conf.get("test_from_pickle"):
+            test_dataset = ARDSRawDataset.from_pickle(conf.test_from_pickle)
+            test_dataset.train = False
+            test_dataset.scaling_factors = train_dataset.scaling_factors
+        else:
+            test_dataset = ARDSRawDataset(
+                conf.data_path,
+                conf.experiment_num,
+                conf.cohort_file,
+                conf.n_sub_batches,
+                dataset_type=conf.dataset_type,
+                to_pickle=conf.get("test_to_pickle"),
+                train=False,
+                unpadded_downsample_factor=conf.get("downsample_factor", 4.0),
+                holdout_set_type=conf.get("holdout_set_type", "main"),
+                final_validation_set=bool(conf.get("final_validation")),
+                drop_i_lim=bool(conf.get("drop_i_lim")),
+                drop_e_lim=bool(conf.get("drop_e_lim")),
+                truncate_e_lim=conf.get("truncate_e_lim"),
+                butter_low=conf.get("butter_low"),
+                butter_high=conf.get("butter_high"),
+                add_fft=bool(conf.get("with_fft")),
+                only_fft=bool(conf.get("only_fft")),
+                fft_real_only=bool(conf.get("fft_real_only")),
+                post_hoc_downsampling=conf.get("post_hoc_downsampling"),
+                fft_filtering_low=conf.get("fft_filtering_low"),
+                fft_filtering_high=conf.get("fft_filtering_high"),
+                seed=conf.get("seed", 42) or 42,
+            )
+            test_dataset.scaling_factors = train_dataset.scaling_factors
+        return train_dataset, test_dataset
+
+    def _get_transforms(self):
+        """Augmentation composition
+        (reference: train_ards_detector.py:175-187); wired when
+        augmentations land."""
+        names = self.conf.get("transforms")
+        if not names:
+            return None
+        from deepards_tpu.data.augment import build_transforms
+
+        return build_transforms(
+            names,
+            self.conf.get("transform_probability", 0.2),
+            use_i=bool(self.conf.get("use_i")),
+        )
+
+    # -- model ----------------------------------------------------------------
+
+    def build_model(self):
+        base = get_base_network(self.conf)
+        meta_features = metadata_features_for(self.conf)
+        return self.spec.build(
+            self.conf, base, self.n_sub_batches, meta_features
+        )
+
+    # -- main loop ------------------------------------------------------------
+
+    def train_and_test(self):
+        conf = self.conf
+        train_dataset, test_dataset = self.get_base_datasets()
+        tx = make_optimizer(
+            optimizer=conf.get("optimizer", "sgd"),
+            learning_rate=conf.get("learning_rate", 0.001),
+            weight_decay=conf.get("weight_decay", 0.0001),
+            clip_grad=bool(conf.get("clip_grad")),
+            clip_val=conf.get("clip_val", 0.01),
+        )
+        for fold_num in range(self.n_kfolds):
+            if conf.get("only_fold") is not None and fold_num != conf.only_fold:
+                continue
+            if conf.get("kfolds") or conf.get("bootstrap"):
+                if self.verbose:
+                    print("--- Run Fold {} ---".format(fold_num + 1))
+                train_dataset.set_kfold_indexes_for_fold(fold_num)
+                test_dataset.set_kfold_indexes_for_fold(fold_num)
+            self.run_fold(
+                fold_num, train_dataset, test_dataset, tx
+            )
+        self.perform_post_modeling_actions()
+        return self.results
+
+    def run_fold(self, fold_num, train_dataset, test_dataset, tx):
+        conf = self.conf
+        model = self.build_model()
+        pipeline = BatchPipeline(train_dataset)
+        self.rng, init_rng = jax.random.split(self.rng)
+        sample = train_dataset.gather(train_dataset.current_indices()[:2])
+        state = create_train_state(
+            model, tx, sample, init_rng,
+            has_metadata=self.spec.uses_metadata,
+        )
+        state = mesh_lib.replicate_tree(self.mesh, state)
+        train_step, eval_step = make_train_step(
+            model,
+            tx,
+            self.loss_fn,
+            target_mode=self.spec.target_mode,
+            transform=pipeline,
+            compute_dtype=self.compute_dtype,
+        )
+        epochs = conf.get("epochs", 10)
+        for epoch_num in range(1, epochs + 1):
+            if not conf.get("no_train"):
+                state = self.run_train_epoch(
+                    state, train_step, train_dataset, fold_num, epoch_num
+                )
+            if conf.get("reshuffle_oversample_per_epoch"):
+                train_dataset.set_oversampling_indices()
+            if not conf.get("no_test_after_epochs") or epoch_num == epochs:
+                state = self.run_test_epoch(
+                    state, eval_step, test_dataset, fold_num, epoch_num
+                )
+            if conf.get("save_model_per_epoch") and conf.get("save_model"):
+                self.save_checkpoint(state, fold_num, epoch_num)
+        if conf.get("save_model"):
+            self.save_checkpoint(state, fold_num, None)
+        self.final_state = state
+        return state
+
+    def run_train_epoch(self, state, train_step, dataset, fold_num,
+                        epoch_num):
+        conf = self.conf
+        batch_size = conf.get("batch_size", 16)
+        loader = EpochLoader(
+            dataset,
+            batch_size,
+            shuffle=not conf.get("unshuffled"),
+            rng=self.host_rng,
+        )
+        if self.verbose:
+            print("train instances: {}".format(len(loader)))
+        for i, batch in enumerate(loader):
+            batch, mask = _pad_batch(batch, batch_size)
+            batch, _ = mesh_lib.shard_batch(self.mesh, batch)
+            mask = jax.device_put(
+                mask, mesh_lib.batch_sharding(self.mesh)
+            )
+            state, loss = train_step(state, batch, mask)
+            loss = float(loss)
+            self.results.update_meter(
+                "loss_epoch_{}".format(epoch_num), fold_num, loss
+            )
+            self.results.update_loss(fold_num, loss)
+            if (
+                conf.get("stop_on_loss")
+                and loss > conf.get("stop_thresh", 1.5)
+                and epoch_num > conf.get("stop_after_epoch", 1)
+            ):
+                print(
+                    "stop on loss: loss={:.4f} exceeded stop_thresh".format(
+                        loss
+                    )
+                )
+                break
+            if conf.get("debug"):
+                break
+        return state
+
+    def run_test_epoch(self, state, eval_step, dataset, fold_num, epoch_num):
+        conf = self.conf
+        batch_size = conf.get("batch_size", 16)
+        loader = EpochLoader(dataset, batch_size, shuffle=False)
+        preds = []
+        pred_idx = []
+        reg_preds = []
+        reg_targets = []
+        for batch in loader:
+            obs_idx = batch.pop("index")
+            n_real = batch["data"].shape[0]
+            batch, mask = _pad_batch(batch, batch_size)
+            batch, _ = mesh_lib.shard_batch(self.mesh, batch)
+            mask = jax.device_put(mask, mesh_lib.batch_sharding(self.mesh))
+            state, loss, out = eval_step(state, batch, mask)
+            self.results.update_meter("test_loss", fold_num, float(loss))
+            self.results.update_epoch_meter(
+                "test_loss", epoch_num, float(loss)
+            )
+            out = np.asarray(out)[:n_real]
+            if self.spec.kind == "classifier":
+                if self.spec.expand_obs_idx:
+                    # per-breath logits (B,S,2): every window index repeats
+                    # S times (reference: train_ards_detector.py:548-556)
+                    batch_preds = out.argmax(axis=-1).reshape(-1)
+                    pred_idx.extend(
+                        np.repeat(np.asarray(obs_idx), out.shape[1]).tolist()
+                    )
+                else:
+                    batch_preds = out.argmax(axis=-1)
+                    pred_idx.extend(np.asarray(obs_idx).tolist())
+                preds.extend(batch_preds.tolist())
+            elif self.spec.kind == "regressor":
+                reg_preds.append(out)
+                reg_targets.append(np.asarray(batch["target"])[:n_real])
+        if self.spec.kind == "classifier":
+            self.record_classifier_results(
+                preds, pred_idx, dataset, fold_num, epoch_num
+            )
+        elif self.spec.kind == "regressor":
+            self.record_regressor_results(
+                np.concatenate(reg_preds),
+                np.concatenate(reg_targets),
+                fold_num,
+            )
+        return state
+
+    def record_classifier_results(self, preds, pred_idx, dataset, fold_num,
+                                  epoch_num):
+        """(reference: train_ards_detector.py:519-524)"""
+        series = pd.Series(preds, index=pred_idx).sort_index()
+        y_test = dataset.get_ground_truth_df()
+        self.results.perform_patient_predictions(
+            y_test, series, fold_num, epoch_num, verbose=self.verbose
+        )
+        seq_hours = {
+            int(i): dataset.cache.hours[int(i)] for i in y_test.index
+        }
+        self.results.save_predictions_by_hour(
+            y_test, series, seq_hours, epoch_num, fold_num
+        )
+
+    def record_regressor_results(self, preds, targets, fold_num):
+        """(reference: train_ards_detector.py:661-679 RegressorMixin)"""
+        self.results.update_meter(
+            "test_mae", fold_num, float(np.abs(preds - targets).mean())
+        )
+        self.results.update_meter(
+            "test_mse", fold_num, float(((preds - targets) ** 2).mean())
+        )
+        self.results.update_r2(fold_num, r2_score(targets, preds))
+
+    def perform_post_modeling_actions(self):
+        if self.spec.kind == "classifier":
+            self.results.aggregate_classification_results(
+                verbose=self.verbose
+            )
+        self.results.save_all()
+
+    # -- checkpointing --------------------------------------------------------
+
+    def save_checkpoint(self, state, fold_num, epoch_num):
+        from deepards_tpu.train import checkpoint
+
+        base = self.conf.get("save_model") or "model"
+        name = os.path.splitext(os.path.basename(base))[0]
+        if epoch_num is not None:
+            name += "-epoch{}".format(epoch_num)
+        if self.n_kfolds > 1:
+            name += "-fold{}".format(fold_num)
+        out_dir = self.conf.get("saved_models_dir") or "saved_models"
+        checkpoint.save(os.path.join(out_dir, name), state, self.conf)

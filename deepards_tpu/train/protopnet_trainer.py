@@ -1,0 +1,373 @@
+"""ProtoPNet training protocol: staged optimizers, composite loss,
+prototype push.
+
+(reference: deepards/train_ards_detector.py:1156-1405.)  The three
+optimizers (warm / joint / last-layer-only) become one optax
+``multi_transform`` whose parameter labels switch per stage — the jitted
+train step takes the stage as a traced scalar selecting the masked
+update, so no recompiles across stages.  The push (projection of each
+prototype onto its nearest same-class latent patch over the train set)
+runs as a jitted per-batch min-reduction with a host-side cross-batch
+argmin.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from deepards_tpu.data.pipeline import BatchPipeline
+from deepards_tpu.models.protopnet1d import construct_ppnet
+from deepards_tpu.models.registry import get_base_network
+from deepards_tpu.parallel import mesh as mesh_lib
+from deepards_tpu.train.loader import EpochLoader
+from deepards_tpu.train.loop import Trainer, _pad_batch
+from deepards_tpu.train.steps import TrainState, _maybe_cast
+
+STAGES = {"warm": 0, "joint": 1, "last": 2}
+
+
+def _param_stage_masks(params):
+    """Label each top-level param subtree for the 3 stages
+    (reference: train_ards_detector.py:1158-1192)."""
+
+    def label_tree(stage):
+        def label(path, leaf):
+            top = path[0].key
+            if top == "prototype_vectors":
+                grp = "protos"
+            elif top.startswith("AddOnLayers") or top == "add_on_layers":
+                grp = "add_on"
+            elif top.startswith("Dense") or top == "last_layer":
+                grp = "last"
+            else:
+                grp = "backbone"
+            if stage == "warm":
+                return grp in ("add_on", "protos")
+            if stage == "joint":
+                return grp in ("backbone", "add_on", "protos")
+            return grp == "last"
+
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    return {s: label_tree(s) for s in STAGES}
+
+
+def ppnet_loss(
+    logits,
+    target,
+    min_distances,
+    class_identity_windows,
+    max_dist,
+    clust_lambda=0.8,
+    sep_lambda=0.2,
+    use_l1=False,
+    last_layer_kernel=None,
+    weights=None,
+):
+    """BCE(softmax) + clust*cluster + sep*separation + 1e-4*L1
+    (reference: train_ards_detector.py:1194-1247)."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    eps = 1e-7
+    probs = jnp.clip(probs, eps, 1 - eps)
+    bce_rows = -(
+        target * jnp.log(probs) + (1 - target) * jnp.log(1 - probs)
+    ).mean(axis=-1)
+    if weights is None:
+        cls_loss = bce_rows.mean()
+    else:
+        cls_loss = (bce_rows * weights).sum() / jnp.maximum(
+            weights.sum(), 1.0
+        )
+
+    label = target.argmax(axis=1)
+    ident = jnp.asarray(class_identity_windows)  # (S*P, n_cls)
+    correct = ident[:, label].T  # (B, S*P)
+    inv_dist = ((max_dist - min_distances) * correct).max(axis=1)
+    cluster_cost = (max_dist - inv_dist)
+    wrong = 1 - correct
+    inv_dist_wrong = ((max_dist - min_distances) * wrong).max(axis=1)
+    separation_cost = (max_dist - inv_dist_wrong)
+    if weights is None:
+        cluster_cost = cluster_cost.mean()
+        separation_cost = separation_cost.mean()
+    else:
+        denom = jnp.maximum(weights.sum(), 1.0)
+        cluster_cost = (cluster_cost * weights).sum() / denom
+        separation_cost = (separation_cost * weights).sum() / denom
+
+    if use_l1 and last_layer_kernel is not None:
+        l1_mask = 1 - ident  # (S*P, n_cls) == kernel shape
+        l1 = jnp.abs(last_layer_kernel * l1_mask).sum()
+    else:
+        l1 = jnp.zeros(())
+    loss = (
+        cls_loss
+        + clust_lambda * cluster_cost
+        + sep_lambda * separation_cost
+        + 1e-4 * l1
+    )
+    return loss, (cls_loss, cluster_cost, separation_cost, l1)
+
+
+class ProtoPNetTrainer(Trainer):
+    """Drives PPNet through warm -> joint -> push/last-layer cycles."""
+
+    def build_model(self):
+        base = get_base_network(self.conf)
+        return construct_ppnet(
+            base,
+            sub_batch_size=self.n_sub_batches,
+            n_prototypes=self.conf.get("n_prototypes", 10) or 10,
+            incorrect_strength=(
+                self.conf.get("incorrect_strength", -0.5) or -0.5
+            ),
+            average_linear=bool(self.conf.get("average_linear_layer")),
+        )
+
+    def _make_tx(self, params):
+        conf = self.conf
+        lr = conf.get("learning_rate", 0.001)
+        wd = conf.get("weight_decay", 0.0001)
+        opt_name = conf.get("optimizer", "sgd")
+
+        def base_opt(with_wd=True):
+            chain = []
+            if with_wd:
+                chain.append(optax.add_decayed_weights(wd))
+            if opt_name == "adam":
+                chain.append(optax.adam(lr))
+            else:
+                chain.append(optax.sgd(lr, momentum=0.9, nesterov=True))
+            return optax.chain(*chain)
+
+        masks = _param_stage_masks(params)
+
+        def masked(stage):
+            return optax.masked(base_opt(), masks[stage])
+
+        # one transform per stage; the step picks by stage index
+        return {s: masked(s) for s in STAGES}
+
+    def run_fold(self, fold_num, train_dataset, test_dataset, tx_unused):
+        conf = self.conf
+        model = self.build_model()
+        pipeline = BatchPipeline(train_dataset)
+        self.rng, init_rng = jax.random.split(self.rng)
+        sample = train_dataset.gather(train_dataset.current_indices()[:2])
+        variables = model.init(
+            {"params": init_rng, "dropout": init_rng},
+            jnp.asarray(sample["data"]), None, True,
+        )
+        params = variables["params"]
+        txs = self._make_tx(params)
+        opt_states = {s: txs[s].init(params) for s in STAGES}
+        state = TrainState(
+            params=params,
+            opt_state=opt_states,
+            rng=jax.random.fold_in(init_rng, 7),
+            step=jnp.zeros((), jnp.int32),
+        )
+        state = mesh_lib.replicate_tree(self.mesh, state)
+
+        ident_w = model.class_identity_windows()
+        max_dist = model.max_dist
+        clust_l = conf.get("clust_lambda", 0.8)
+        sep_l = conf.get("sep_lambda", 0.2)
+        use_l1 = bool(conf.get("use_l1"))
+        compute_dtype = self.compute_dtype
+
+        def loss_wrap(params, batch, mask, dropout_rng):
+            data = pipeline(batch["data"])
+            data = _maybe_cast(data, compute_dtype)
+            params_c = _maybe_cast(params, compute_dtype)
+            logits, min_d = model.apply(
+                {"params": params_c}, data, None, False,
+                rngs={"dropout": dropout_rng},
+            )
+            logits = logits.astype(jnp.float32)
+            min_d = min_d.astype(jnp.float32)
+            kernel = params["last_layer"]["kernel"] if use_l1 else None
+            loss, aux = ppnet_loss(
+                logits, batch["target"], min_d, ident_w, max_dist,
+                clust_l, sep_l, use_l1, kernel, mask,
+            )
+            return loss, aux
+
+        def make_step(stage):
+            tx = txs[stage]
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def step(state, batch, mask):
+                rng, drng = jax.random.split(state.rng)
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_wrap, has_aux=True
+                )(state.params, batch, mask, drng)
+                grads = _maybe_cast(grads, jnp.float32)
+                updates, new_opt = tx.update(
+                    grads, state.opt_state[stage], state.params
+                )
+                params = optax.apply_updates(state.params, updates)
+                opt_state = dict(state.opt_state)
+                opt_state[stage] = new_opt
+                return (
+                    state.replace(
+                        params=params, opt_state=opt_state, rng=rng,
+                        step=state.step + 1,
+                    ),
+                    loss,
+                    aux,
+                )
+
+            return step
+
+        steps = {s: make_step(s) for s in STAGES}
+
+        @jax.jit
+        def eval_step(state, batch, mask):
+            rng, drng = jax.random.split(state.rng)
+            data = pipeline(batch["data"])
+            logits, min_d = model.apply(
+                {"params": state.params}, data, None, True,
+                rngs={"dropout": drng},
+            )
+            loss, _ = ppnet_loss(
+                logits.astype(jnp.float32),
+                batch["target"],
+                min_d.astype(jnp.float32),
+                ident_w, max_dist, clust_l, sep_l,
+                weights=mask,
+            )
+            return state.replace(rng=rng), loss, logits
+
+        epochs = conf.get("epochs", 10)
+        n_warm = conf.get("n_warm_epochs", 3)
+        push_start = conf.get("push_start_epoch", 6)
+        push_every = conf.get("push_every_n", 6)
+        n_push_iters = conf.get("n_push_iters", 5)
+        batch_size = conf.get("batch_size", 16)
+
+        for epoch_num in range(1, epochs + 1):
+            stage = "warm" if epoch_num <= n_warm else "joint"
+            state = self._run_ppnet_epoch(
+                state, steps[stage], train_dataset, fold_num, epoch_num,
+                batch_size,
+            )
+            if (
+                epoch_num >= push_start
+                and (epoch_num - push_start) % push_every == 0
+            ):
+                state = self.push_prototypes(state, model, train_dataset,
+                                             pipeline, batch_size)
+                for _ in range(n_push_iters):
+                    state = self._run_ppnet_epoch(
+                        state, steps["last"], train_dataset, fold_num,
+                        epoch_num, batch_size,
+                    )
+                    if conf.get("debug"):
+                        break
+            state = self.run_test_epoch(
+                state, eval_step, test_dataset, fold_num, epoch_num
+            )
+        self.final_state = state
+        self.final_model = model
+        return state
+
+    def _run_ppnet_epoch(self, state, step, dataset, fold_num, epoch_num,
+                         batch_size):
+        loader = EpochLoader(
+            dataset, batch_size, shuffle=True, rng=self.host_rng
+        )
+        for batch in loader:
+            batch.pop("index")
+            batch, mask = _pad_batch(batch, batch_size)
+            batch, _ = mesh_lib.shard_batch(self.mesh, batch)
+            mask = jax.device_put(mask, mesh_lib.batch_sharding(self.mesh))
+            state, loss, aux = step(state, batch, mask)
+            cls_loss, clust, sep, l1 = [float(a) for a in aux]
+            self.results.update_meter("cls_loss", fold_num, cls_loss)
+            self.results.update_meter("clst_loss", fold_num, clust)
+            self.results.update_meter("sep_loss", fold_num, sep)
+            self.results.update_meter("l1_loss", fold_num, l1)
+            self.results.update_meter(
+                "loss_epoch_{}".format(epoch_num), fold_num, float(loss)
+            )
+            self.results.update_loss(fold_num, float(loss))
+            if self.conf.get("debug"):
+                break
+        return state
+
+    def push_prototypes(self, state, model, dataset, pipeline, batch_size):
+        """Project each prototype onto the nearest same-class latent patch
+        over the train set and overwrite prototype_vectors
+        (reference: deepards/models/protopnet1d/ppnet_push.py push loop).
+        Also records push metadata for prototype visualization."""
+        p, c, k = model.prototype_shape
+        ident = model.class_identity()  # (P, n_cls)
+
+        @jax.jit
+        def batch_min(params, data, target):
+            feats, dists = model.apply(
+                {"params": params}, pipeline(data), None, True,
+                method=model.push_forward,
+                rngs={"dropout": jax.random.PRNGKey(0)},
+            )
+            # feats: (B,S,L',C) dists: (B,S,L'',P)
+            b, s, lpp, np_ = dists.shape
+            flat_d = dists.reshape(b, s * lpp, np_)
+            # mask windows whose class doesn't own the prototype
+            cls_of_proto = jnp.asarray(ident.argmax(axis=1))  # (P,)
+            label = target.argmax(axis=1)  # (B,)
+            allowed = (
+                label[:, None] == cls_of_proto[None, :]
+            )  # (B, P)
+            flat_d = jnp.where(
+                allowed[:, None, :], flat_d, jnp.inf
+            )
+            best = flat_d.min(axis=1)  # (B, P)
+            best_pos = flat_d.argmin(axis=1)  # (B, P)
+            min_over_batch = best.min(axis=0)  # (P,)
+            best_row = best.argmin(axis=0)  # (P,)
+            pos = best_pos[best_row, jnp.arange(np_)]  # (P,)
+            # gather the winning latent patch per prototype (K=1)
+            fb = feats.reshape(b, -1, feats.shape[-1])  # (B, S*L', C)
+            patches = fb[best_row[:, None], pos[:, None], :][:, 0, :]
+            return min_over_batch, patches, best_row, pos
+
+        global_best = np.full(p, np.inf)
+        global_patch = np.zeros((p, c), np.float32)
+        push_info = [None] * p
+        loader = EpochLoader(dataset, batch_size, shuffle=False)
+        for batch in loader:
+            idx = batch.pop("index")
+            n_real = batch["data"].shape[0]
+            batch, _ = _pad_batch(batch, batch_size)
+            # padded rows get inf distances via class mask? padded targets
+            # are zeros -> class 0 windows could win; mask by slicing first
+            dmin, patches, rows, pos = batch_min(
+                state.params,
+                jnp.asarray(batch["data"]),
+                jnp.asarray(batch["target"]),
+            )
+            dmin = np.asarray(dmin)
+            rows_np = np.asarray(rows)
+            valid = rows_np < n_real
+            better = (dmin < global_best) & valid
+            global_best = np.where(better, dmin, global_best)
+            patches_np = np.asarray(patches)
+            for j in np.nonzero(better)[0]:
+                global_patch[j] = patches_np[j]
+                push_info[j] = {
+                    "window_index": int(idx[rows_np[j]]),
+                    "flat_pos": int(np.asarray(pos)[j]),
+                    "distance": float(dmin[j]),
+                }
+        new_protos = jnp.asarray(
+            global_patch.reshape(p, c, 1), dtype=jnp.float32
+        )
+        params = dict(state.params)
+        params["prototype_vectors"] = new_protos
+        self.last_push_info = push_info
+        return state.replace(params=type(state.params)(params) if not
+                             isinstance(state.params, dict) else params)

@@ -115,6 +115,8 @@ def make_train_step(
             not dropout_active,
             rngs={"dropout": dropout_rng},
         )
+        if isinstance(out, tuple):
+            out = out[0]  # stateful heads return (logits, carry)
         out = out.astype(jnp.float32)
         target = batch["target"]
         if target_mode == "per_breath":

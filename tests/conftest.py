@@ -15,6 +15,8 @@ if "xla_force_host_platform_device_count" not in flags:
 # this box has 1 CPU core; persist XLA compilations across test runs
 import jax  # noqa: E402
 
+# the axon TPU plugin ignores the JAX_PLATFORMS env var; force via config
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/deepards_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -1,0 +1,115 @@
+"""End-to-end tiny training runs on the virtual 8-device CPU mesh."""
+import numpy as np
+import pytest
+
+from deepards_tpu.config import Configuration
+from deepards_tpu.train.loop import Trainer
+
+
+def _conf(synthetic_cohort, **over):
+    base = dict(
+        data_path=synthetic_cohort["data_path"],
+        cohort_file=synthetic_cohort["cohort_file"],
+        experiment_num=1,
+        network="cnn_linear",
+        base_network="densenet18",
+        dataset_type="unpadded_centered_sequences",
+        n_sub_batches=4,
+        kfolds=2,
+        epochs=2,
+        batch_size=8,
+        optimizer="sgd",
+        learning_rate=0.01,
+        clip_grad=True,
+        clip_val=0.05,
+        oversample_minority=False,
+        compute_dtype="float32",
+        results_dir=None,
+        seed=7,
+    )
+    base.update(over)
+    return Configuration(overrides=base)
+
+
+@pytest.fixture(scope="module")
+def trained(synthetic_cohort, tmp_path_factory):
+    results_dir = str(tmp_path_factory.mktemp("results"))
+    conf = _conf(synthetic_cohort, results_dir=results_dir)
+    trainer = Trainer(conf, verbose=False)
+    results = trainer.train_and_test()
+    return trainer, results
+
+
+def test_e2e_losses_recorded(trained):
+    trainer, results = trained
+    loss_meter = results.get_meter("loss", 0)
+    assert len(loss_meter) > 0
+    assert np.isfinite(loss_meter.values).all()
+
+
+def test_e2e_patient_predictions(trained):
+    trainer, results = trained
+    # every fold/epoch produced per-patient rows
+    assert len(results.results) > 0
+    assert set(results.results.fold_num.unique()) == {0, 1}
+    assert set(results.results.epoch_num.unique()) == {1, 2}
+    # pred_frac is a valid fraction
+    assert results.results.pred_frac.between(0, 1).all()
+
+
+def test_e2e_auc_meters(trained):
+    trainer, results = trained
+    for fold in (0, 1):
+        auc = results.get_meter("test_auc", fold)
+        assert len(auc) == 2  # one per epoch
+        assert all(0.0 <= v <= 1.0 for v in auc.values)
+
+
+def test_e2e_aggregate_and_maximals(trained):
+    trainer, results = trained
+    agg = results.aggregate_classification_results(verbose=False)
+    assert agg is not None
+    assert set(agg.patho) == {"OTHER", "ARDS"}
+    assert (agg.groupby(["fold_num", "epoch_num"]).size() == 2).all()
+
+
+def test_e2e_pred_to_hour(trained):
+    trainer, results = trained
+    frame = results.all_pred_to_hour
+    assert len(frame) > 0
+    assert {"pred", "hour", "patient", "y", "epoch", "fold"} <= set(
+        frame.columns
+    )
+
+
+def test_e2e_learns_synthetic_separation(synthetic_cohort, tmp_path):
+    """With more epochs on the cleanly-separable synthetic cohort the
+    final-epoch patient AUC should beat chance."""
+    conf = _conf(
+        synthetic_cohort,
+        results_dir=str(tmp_path),
+        kfolds=2,
+        epochs=4,
+        learning_rate=0.01,
+    )
+    trainer = Trainer(conf, verbose=False)
+    results = trainer.train_and_test()
+    last_aucs = [results.get_meter("test_auc", f).values[-1] for f in (0, 1)]
+    assert np.nanmean(last_aucs) > 0.6
+
+
+def test_e2e_regression_network(synthetic_cohort, tmp_path):
+    conf = _conf(
+        synthetic_cohort,
+        results_dir=str(tmp_path),
+        network="cnn_regressor",
+        dataset_type="padded_breath_by_breath_with_full_bm_target",
+        n_sub_batches=1,
+        kfolds=2,
+        epochs=1,
+        batch_size=16,
+    )
+    trainer = Trainer(conf, verbose=False)
+    results = trainer.train_and_test()
+    assert len(results.get_meter("test_mae", 0)) == 1
+    assert len(results.get_meter("test_r2", 0)) == 1
