@@ -298,7 +298,14 @@ class Trainer:
         )
         if self.verbose:
             print("train instances: {}".format(len(loader)))
+        transforms = getattr(dataset, "transforms", None)
         for i, batch in enumerate(loader):
+            if transforms is not None:
+                from deepards_tpu.data.augment import apply_to_batch
+
+                batch["data"] = apply_to_batch(
+                    transforms, batch["data"], self.host_rng
+                )
             batch, mask = _pad_batch(batch, batch_size)
             batch, _ = mesh_lib.shard_batch(self.mesh, batch)
             mask = jax.device_put(

@@ -1,0 +1,149 @@
+import numpy as np
+import pytest
+
+from deepards_tpu.ops.dtw import dtw_numpy, dtw_pallas, dtw_scan
+
+
+@pytest.fixture(scope="module")
+def pairs(rng2=np.random.default_rng(3)):
+    n = 48
+    a = rng2.normal(size=(6, n)).astype(np.float32)
+    b = rng2.normal(size=(6, n)).astype(np.float32)
+    la = rng2.integers(20, n + 1, size=6).astype(np.int32)
+    lb = rng2.integers(20, n + 1, size=6).astype(np.int32)
+    a[np.arange(n)[None, :] >= la[:, None]] = 0
+    b[np.arange(n)[None, :] >= lb[:, None]] = 0
+    oracle = np.array([
+        dtw_numpy(a[i, : la[i]], b[i, : lb[i]]) for i in range(6)
+    ])
+    return a, b, la, lb, oracle
+
+
+def test_dtw_scan_matches_oracle(pairs):
+    a, b, la, lb, oracle = pairs
+    out = np.asarray(dtw_scan(a, b, la, lb))
+    np.testing.assert_allclose(out, oracle, rtol=1e-4)
+
+
+def test_dtw_scan_identical_sequences_zero(pairs):
+    a, b, la, lb, oracle = pairs
+    out = np.asarray(dtw_scan(a, a, la, la))
+    np.testing.assert_allclose(out, 0.0, atol=1e-5)
+
+
+def test_dtw_scan_full_length_default():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(2, 32)).astype(np.float32)
+    b = rng.normal(size=(2, 32)).astype(np.float32)
+    out = np.asarray(dtw_scan(a, b))
+    oracle = np.array([dtw_numpy(a[i], b[i]) for i in range(2)])
+    np.testing.assert_allclose(out, oracle, rtol=1e-4)
+
+
+def test_dtw_pallas_interpret_matches_oracle(pairs):
+    a, b, la, lb, oracle = pairs
+    out = np.asarray(dtw_pallas(a, b, la, lb, block_b=8, interpret=True))
+    np.testing.assert_allclose(out, oracle, rtol=1e-4)
+
+
+def test_dtw_shift_invariance():
+    """DTW of a signal vs its time-warped self is far below vs noise."""
+    t = np.linspace(0, 4 * np.pi, 64)
+    a = np.sin(t).astype(np.float32)
+    b = np.sin(t * 1.1).astype(np.float32)
+    noise = np.random.default_rng(1).normal(size=64).astype(np.float32)
+    d_warp = float(dtw_scan(a[None], b[None])[0])
+    d_noise = float(dtw_scan(a[None], noise[None])[0])
+    assert d_warp < d_noise / 3
+
+
+def test_native_dtw_matches_oracle(pairs):
+    from deepards_tpu.ops.native import load_native_dtw
+
+    fn = load_native_dtw()
+    if fn is None:
+        pytest.skip("no native toolchain")
+    a, b, la, lb, oracle = pairs
+    out = fn(a, b, la, lb)
+    np.testing.assert_allclose(out, oracle, rtol=1e-5)
+
+
+def test_per_breath_rolling_scores():
+    from deepards_tpu.dtw.lib import per_breath_dtw_scores
+
+    rng = np.random.default_rng(2)
+    breaths = [rng.normal(size=rng.integers(30, 60)) for _ in range(8)]
+    scores = per_breath_dtw_scores(breaths, n_breaths=3)
+    assert np.isnan(scores[:3]).all()
+    assert np.isfinite(scores[3:]).all()
+    # manual check for breath 3
+    expected = np.mean([
+        dtw_numpy(breaths[3], breaths[2]),
+        dtw_numpy(breaths[3], breaths[1]),
+        dtw_numpy(breaths[3], breaths[0]),
+    ])
+    np.testing.assert_allclose(scores[3], expected, rtol=1e-4)
+
+
+def test_kmedoids_precomputed():
+    from deepards_tpu.dtw.kmedoids import KMedoids
+
+    # two obvious clusters
+    pts = np.concatenate([
+        np.random.default_rng(0).normal(0, 0.1, size=(5, 2)),
+        np.random.default_rng(1).normal(5, 0.1, size=(5, 2)),
+    ])
+    D = np.sqrt(((pts[:, None] - pts[None, :]) ** 2).sum(-1))
+    km = KMedoids(2, metric="precomputed").fit(D)
+    labels = km.predict(D)
+    assert len(set(labels[:5])) == 1
+    assert len(set(labels[5:])) == 1
+    assert labels[0] != labels[5]
+
+
+def test_similarity_matrix_and_pickers(synthetic_cohort):
+    from deepards_tpu.data.dataset import ARDSRawDataset
+    from deepards_tpu.dtw.lib import (
+        find_patient_similarity,
+        mediod_process,
+        pick_dissimilar_pts,
+        pick_similar_pts,
+    )
+
+    ds = ARDSRawDataset(
+        synthetic_cohort["data_path"], 1, synthetic_cohort["cohort_file"],
+        n_sub_batches=2, dataset_type="unpadded_centered_sequences",
+        kfold_num=0, total_kfolds=2,
+    )
+    mat = find_patient_similarity(ds, dist_method="random", n_random=2)
+    assert (mat.values >= 0).all()
+    assert (mat.values == mat.values.T).all()
+    assert (np.diag(mat.values) == 0).all()
+
+    sim = pick_similar_pts(mat, ds, n_pts=4)
+    assert sim and len(sim[0][1]) == 4
+    dis = pick_dissimilar_pts(mat, ds, n_pts=4)
+    assert dis and len(dis[0][1]) == 4
+    # dissimilar set cost should be >= similar set cost scale
+    clusts = mediod_process(mat, 2, ds)
+    assert set(clusts.clust) <= {0, 1}
+
+
+def test_undersampler_integration(synthetic_cohort):
+    from deepards_tpu.data.dataset import ARDSRawDataset
+    from deepards_tpu.dtw.lib import build_patient_score_map
+
+    ds = ARDSRawDataset(
+        synthetic_cohort["data_path"], 1, synthetic_cohort["cohort_file"],
+        n_sub_batches=2, dataset_type="unpadded_centered_sequences",
+        kfold_num=0, total_kfolds=2,
+    )
+    score_map = build_patient_score_map(ds)
+    assert len(score_map) > 0
+    ds.dtw_scores = score_map
+    ds.undersample_factor = 0.5
+    ds.undersample_std_factor = 1.0
+    before = len(ds.current_indices())
+    ds.set_kfold_indexes_for_fold(0)
+    after = len(ds.current_indices())
+    assert after < before
