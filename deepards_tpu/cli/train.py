@@ -155,9 +155,9 @@ def main(argv=None):
     if "oversample" in conf.conf and conf.get("oversample") is not None:
         conf.conf["oversample_minority"] = conf.conf["oversample"]
 
-    from deepards_tpu.train.loop import Trainer
+    from deepards_tpu.train.loop import make_trainer
 
-    trainer = Trainer(conf)
+    trainer = make_trainer(conf)
     print("Run start time: {}".format(trainer.start_time))
     trainer.train_and_test()
     print("Run start time: {}".format(trainer.start_time))

@@ -136,8 +136,9 @@ def generate_cohort(
         os.makedirs(sub_dir, exist_ok=True)
         for kind in ("raw", "meta"):
             dst = os.path.join(sub_dir, kind)
+            src = os.path.abspath(os.path.join(exp_dir, primary, kind))
             if not os.path.exists(dst):
-                os.symlink(os.path.join(exp_dir, primary, kind), dst)
+                os.symlink(src, dst)
 
     cohort = pd.DataFrame(rows, columns=COHORT_COLUMNS)
     if cohort_file is None:

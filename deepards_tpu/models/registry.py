@@ -102,6 +102,7 @@ class NetworkSpec:
     stateful_lstm: bool = False  # supports hidden-state carry when unshuffled
     super_batch: bool = False  # whole-patient super batches, batch_size=1
     eval_dropout_off: bool = False  # trainer calls model.eval() in reference
+    trainer: str = "standard"  # standard|protopnet|siamese
 
 
 def _simple(name, cls, **kw):
@@ -268,7 +269,18 @@ NETWORK_MAP = {
             hidden_units=conf.get("time_series_hidden_units", 16) or 16,
         ),
     ),
+    "protopnet": NetworkSpec(
+        "protopnet",
+        # built by ProtoPNetTrainer.build_model (needs n_sub_batches etc.)
+        lambda conf, bb, s, m: None,
+        trainer="protopnet",
+    ),
 }
+
+# siamese nets use their own triplet dataset/epoch structure
+for _name in ("siamese_cnn_linear", "siamese_cnn_lstm",
+              "siamese_cnn_transformer"):
+    NETWORK_MAP[_name].trainer = "siamese"
 
 
 def _n_bm_features(conf):

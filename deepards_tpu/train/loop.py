@@ -34,6 +34,22 @@ from deepards_tpu.train.steps import (
 )
 
 
+def make_trainer(conf, **kwargs):
+    """Trainer factory keyed off the network spec
+    (the reference's network_map trainer-class dispatch,
+    train_ards_detector.py:1410-1436)."""
+    spec = get_network_spec(conf.network)
+    if spec.trainer == "protopnet":
+        from deepards_tpu.train.protopnet_trainer import ProtoPNetTrainer
+
+        return ProtoPNetTrainer(conf, **kwargs)
+    if spec.trainer == "siamese":
+        from deepards_tpu.train.siamese_trainer import SiameseTrainer
+
+        return SiameseTrainer(conf, **kwargs)
+    return Trainer(conf, **kwargs)
+
+
 def r2_score(y_true, y_pred):
     y_true = np.asarray(y_true, np.float64)
     y_pred = np.asarray(y_pred, np.float64)

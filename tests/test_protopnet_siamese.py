@@ -1,0 +1,119 @@
+"""End-to-end ProtoPNet and Siamese training on tiny synthetic data."""
+import numpy as np
+import pytest
+
+from deepards_tpu.config import Configuration
+from deepards_tpu.train.loop import make_trainer
+
+
+def test_ppnet_model_shapes():
+    import jax
+    import jax.numpy as jnp
+
+    from deepards_tpu.models.densenet1d import densenet18
+    from deepards_tpu.models.protopnet1d import construct_ppnet
+
+    model = construct_ppnet(densenet18(), sub_batch_size=2, n_prototypes=3)
+    x = jnp.ones((2, 2, 1, 224))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, None, True,
+    )
+    logits, min_d = model.apply(variables, x, None, True)
+    assert logits.shape == (2, 2)
+    assert min_d.shape == (2, 2 * 6)  # S * num_prototypes
+    assert "prototype_vectors" in variables["params"]
+    assert variables["params"]["prototype_vectors"].shape == (6, 128, 1)
+    # class-identity init of last layer: kernel (S*P, 2)
+    kernel = variables["params"]["last_layer"]["kernel"]
+    assert kernel.shape == (2 * 6, 2)
+    assert set(np.unique(np.asarray(kernel))) == {-0.5, 1.0}
+
+
+def test_ppnet_rf_info():
+    from deepards_tpu.models.densenet1d import densenet18
+    from deepards_tpu.models.protopnet1d import construct_ppnet
+
+    model = construct_ppnet(densenet18(), sub_batch_size=2)
+    n_out, jump, rf, start = model.proto_layer_rf_info(224)
+    assert n_out == 7  # densenet18 feature map length at 224 input
+    assert jump == 32  # 5 stride-2 stages
+    assert rf > 100  # deep receptive field
+
+
+def test_ppnet_loss_components():
+    import jax.numpy as jnp
+
+    from deepards_tpu.models.protopnet1d import prototype_class_identity
+    from deepards_tpu.train.protopnet_trainer import ppnet_loss
+
+    rng = np.random.default_rng(0)
+    b, s, p = 4, 2, 6
+    logits = jnp.asarray(rng.normal(size=(b, 2)), jnp.float32)
+    target = jnp.asarray(np.eye(2)[rng.integers(0, 2, b)], jnp.float32)
+    min_d = jnp.asarray(rng.uniform(0, 10, size=(b, s * p)), jnp.float32)
+    ident = np.tile(prototype_class_identity(p, 2), (s, 1))
+    loss, (cls_loss, clust, sep, l1) = ppnet_loss(
+        logits, target, min_d, ident, 128.0
+    )
+    assert np.isfinite(float(loss))
+    assert float(clust) >= 0 and float(sep) >= 0
+    assert float(l1) == 0  # use_l1 off
+
+
+@pytest.mark.slow
+def test_protopnet_e2e(synthetic_cohort, tmp_path):
+    conf = Configuration(overrides=dict(
+        data_path=synthetic_cohort["data_path"],
+        cohort_file=synthetic_cohort["cohort_file"],
+        experiment_num=1,
+        network="protopnet",
+        base_network="densenet18",
+        dataset_type="unpadded_centered_sequences",
+        n_sub_batches=4,
+        kfolds=2,
+        epochs=3,
+        batch_size=8,
+        n_warm_epochs=1,
+        push_start_epoch=2,
+        push_every_n=2,
+        n_push_iters=1,
+        n_prototypes=2,
+        compute_dtype="float32",
+        results_dir=str(tmp_path),
+        only_fold=0,
+    ))
+    trainer = make_trainer(conf, verbose=False)
+    results = trainer.train_and_test()
+    assert len(results.get_meter("cls_loss", 0)) > 0
+    assert len(results.get_meter("clst_loss", 0)) > 0
+    # push happened and recorded prototype provenance
+    assert hasattr(trainer, "last_push_info")
+    assert any(info is not None for info in trainer.last_push_info)
+    auc = results.get_meter("test_auc", 0)
+    assert len(auc) == 3
+
+
+@pytest.mark.slow
+def test_siamese_e2e(synthetic_cohort, tmp_path):
+    conf = Configuration(overrides=dict(
+        data_path=synthetic_cohort["data_path"],
+        cohort_file=synthetic_cohort["cohort_file"],
+        experiment_num=1,
+        network="siamese_cnn_linear",
+        base_network="densenet18",
+        dataset_type="unpadded_centered_sequences",
+        n_sub_batches=4,
+        kfolds=None,
+        epochs=1,
+        batch_size=8,
+        compute_dtype="float32",
+        results_dir=str(tmp_path),
+        holdout_set_type="main",
+    ))
+    trainer = make_trainer(conf, verbose=False)
+    results = trainer.train_and_test()
+    assert len(results.get_meter("loss", 0)) > 0
+    acc = results.get_meter("accuracy", 0)
+    assert len(acc) >= 1
+    assert 0.0 <= acc.values[-1] <= 1.0
