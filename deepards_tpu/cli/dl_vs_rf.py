@@ -1,0 +1,149 @@
+"""DL vs random-forest comparison (the aim2 paper figures).
+
+Capability parity with the reference comparison package
+(reference: deepards/aim2_dl_v_rf_compr/: fractional_patient_training.py
+:13-46 computes DL accuracy/AUC at 2.5-100%% of training patients against
+an RF baseline; plot_roc_curves.py draws the ROC overlays).
+
+The RF baseline trains on per-window mean breath-meta features (the
+classic pre-DL approach) with patient-vote aggregation identical to the
+DL path, so the comparison is apples-to-apples.
+"""
+import argparse
+
+import numpy as np
+import pandas as pd
+from sklearn.ensemble import RandomForestClassifier
+from sklearn.metrics import roc_auc_score, roc_curve
+
+from deepards_tpu.data.breath import flow_time_features
+
+
+def window_bm_features(dataset, indices):
+    """Mean flow-time features per window (host, cold path)."""
+    feats = []
+    for i in indices:
+        window = dataset.cache.data[int(i)]  # (S, C, L)
+        rows = [
+            flow_time_features(w[0][w[0] != 0]
+                               if (w[0] != 0).any() else w[0])
+            for w in window
+        ]
+        rows = np.asarray(rows, np.float64)
+        rows = rows[~np.any(np.isnan(rows) | np.isinf(rows), axis=1)]
+        feats.append(
+            rows.mean(axis=0) if len(rows) else np.zeros(9)
+        )
+    return np.asarray(feats)
+
+
+def rf_patient_metrics(dataset, fold_num, n_estimators=100, seed=0):
+    """Train RF on the fold's train windows, patient-vote the test fold."""
+    train_idx = dataset.get_kfold_indexes_for_fold(fold_num, train=True)
+    test_idx = dataset.get_kfold_indexes_for_fold(fold_num, train=False)
+    x_train = window_bm_features(dataset, train_idx)
+    y_train = dataset.cache.target[train_idx].argmax(axis=1)
+    x_test = window_bm_features(dataset, test_idx)
+    y_test = dataset.cache.target[test_idx].argmax(axis=1)
+    rf = RandomForestClassifier(n_estimators=n_estimators,
+                                random_state=seed)
+    rf.fit(np.nan_to_num(x_train), y_train)
+    probs = rf.predict_proba(np.nan_to_num(x_test))[:, 1]
+    preds = (probs >= 0.5).astype(int)
+
+    pts = np.array([
+        dataset.cache.patients[dataset.cache.patient_idx[int(i)]]
+        for i in test_idx
+    ])
+    rows = []
+    for pt in np.unique(pts):
+        m = pts == pt
+        pred_frac = preds[m].mean()
+        rows.append({
+            "patient": pt,
+            "patho": int(y_test[m][0]),
+            "pred_frac": float(pred_frac),
+            "prediction": int(pred_frac >= 0.5),
+        })
+    frame = pd.DataFrame(rows)
+    auc = roc_auc_score(frame.patho, frame.pred_frac)
+    acc = (frame.patho == frame.prediction).mean()
+    return {
+        "auc": float(auc), "accuracy": float(acc), "frame": frame,
+        "model": rf,
+        "importances": dict(zip(range(9), rf.feature_importances_)),
+    }
+
+
+def fractional_training_curve(conf_builder, fractions=(0.025, 0.05, 0.1,
+                                                       0.25, 0.5, 1.0)):
+    """DL accuracy/AUC as the training-patient fraction grows
+    (reference: fractional_patient_training.py:13-46).  ``conf_builder``
+    returns a Configuration for a given train_pt_frac."""
+    from deepards_tpu.train.loop import make_trainer
+
+    rows = []
+    for frac in fractions:
+        conf = conf_builder(frac)
+        trainer = make_trainer(conf, verbose=False)
+        results = trainer.train_and_test()
+        aucs = [
+            results.get_meter("test_auc", f).values[-1]
+            for f in range(trainer.n_kfolds)
+            if len(results.get_meter("test_auc", f))
+        ]
+        accs = [
+            results.get_meter("test_patient_accuracy", f).values[-1]
+            for f in range(trainer.n_kfolds)
+            if len(results.get_meter("test_patient_accuracy", f))
+        ]
+        rows.append({
+            "train_pt_frac": frac,
+            "auc": float(np.nanmean(aucs)) if aucs else np.nan,
+            "accuracy": float(np.nanmean(accs)) if accs else np.nan,
+        })
+    return pd.DataFrame(rows)
+
+
+def plot_roc_curves(dl_frame, rf_frame, out_path="roc-dl-ml.png"):
+    """(reference: plot_roc_curves.py -> roc-dl-ml.png)"""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(5, 5))
+    for name, frame in (("DL", dl_frame), ("RF", rf_frame)):
+        if frame is None or not len(frame):
+            continue
+        fpr, tpr, _ = roc_curve(frame.patho, frame.pred_frac)
+        auc = roc_auc_score(frame.patho, frame.pred_frac)
+        ax.plot(fpr, tpr, label="{} (AUC {:.3f})".format(name, auc))
+    ax.plot([0, 1], [0, 1], "k--", lw=0.5)
+    ax.set_xlabel("false positive rate")
+    ax.set_ylabel("true positive rate")
+    ax.legend()
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="deepards-dl-vs-rf")
+    parser.add_argument("--train-from-pickle", required=True)
+    parser.add_argument("--fold", type=int, default=0)
+    parser.add_argument("--n-estimators", type=int, default=100)
+    args = parser.parse_args(argv)
+
+    from deepards_tpu.data.dataset import ARDSRawDataset
+
+    ds = ARDSRawDataset.from_pickle(args.train_from_pickle)
+    out = rf_patient_metrics(ds, args.fold, args.n_estimators)
+    print("RF fold {}: AUC={:.4f} accuracy={:.4f}".format(
+        args.fold, out["auc"], out["accuracy"]
+    ))
+    print(out["frame"].to_string(index=False))
+
+
+if __name__ == "__main__":
+    main()

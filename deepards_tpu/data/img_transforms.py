@@ -1,0 +1,185 @@
+"""2D (image) augmentations for breath-image datasets.
+
+Capability parity with the reference's row/window transform family
+(reference: deepards/dataset.py:108-340): RowShuffle,
+RandomRowHorizontalFlip, RandomRowScale, magnitude/time warping,
+window warping/slicing, plus plain horizontal/vertical flips; registry
+``two_dim_transforms`` mirrors :330-340.
+
+All transforms operate on numpy images shaped (C, H, W) (channel-first,
+rows = H) and take an explicit rng.
+"""
+import numpy as np
+from scipy.interpolate import CubicSpline
+
+
+class _RandomTransform:
+    def __init__(self, p=0.5):
+        self.p = p
+
+    def __call__(self, x, rng=None):
+        rng = rng or np.random.default_rng()
+        if self.p < rng.random():
+            return x
+        return self.apply(np.array(x, copy=True), rng)
+
+
+class RowShuffle(_RandomTransform):
+    """(reference: dataset.py:240-254)"""
+
+    def apply(self, x, rng):
+        idxs = rng.permutation(x.shape[1])
+        return x[:, idxs]
+
+
+class RandomRowHorizontalFlip(_RandomTransform):
+    """(reference: dataset.py:257-275)"""
+
+    def __init__(self, p=0.5, frac_rows=0.25):
+        super().__init__(p)
+        self.frac_rows = frac_rows
+
+    def apply(self, x, rng):
+        h = x.shape[1]
+        idxs = rng.permutation(h)[: int(h * self.frac_rows)]
+        x[:, idxs] = x[:, idxs, ::-1]
+        return x
+
+
+class RandomRowScale(_RandomTransform):
+    """(reference: dataset.py:278-296)"""
+
+    def __init__(self, p=0.5, frac_rows=0.25, mag=(0.8, 1.2)):
+        super().__init__(p)
+        self.frac_rows = frac_rows
+        self.mag = mag
+
+    def apply(self, x, rng):
+        h = x.shape[1]
+        n = int(h * self.frac_rows)
+        idxs = rng.permutation(h)[:n]
+        warp = rng.uniform(self.mag[0], self.mag[1], size=n)[:, None]
+        x[:, idxs] = x[:, idxs] * warp
+        return x
+
+
+class RandomHorizontalFlip(_RandomTransform):
+    def apply(self, x, rng):
+        return x[:, :, ::-1]
+
+
+class RandomVerticalFlip(_RandomTransform):
+    def apply(self, x, rng):
+        return x[:, ::-1, :]
+
+
+def magnitude_warp(x, rng, sigma=0.2, knot=4):
+    """Smooth random magnitude envelope per channel
+    (reference: dataset.py:108-121; x here (C, H, W) warped along W)."""
+    c, h, w = x.shape
+    orig = np.arange(w)
+    warp_steps = np.linspace(0, w - 1.0, num=knot + 2)
+    for ci in range(c):
+        rand = rng.normal(1.0, sigma, size=knot + 2)
+        warper = CubicSpline(warp_steps, rand)(orig)
+        x[ci] = x[ci] * warper[None, :]
+    return x
+
+
+def time_warp(x, rng, sigma=0.2, knot=4):
+    """(reference: dataset.py:123-138)"""
+    c, h, w = x.shape
+    orig = np.arange(w)
+    warp_steps = np.linspace(0, w - 1.0, num=knot + 2)
+    for ci in range(c):
+        rand = rng.normal(1.0, sigma, size=knot + 2)
+        tw = CubicSpline(warp_steps, warp_steps * rand)(orig)
+        scale = (w - 1) / tw[-1]
+        warped_t = np.clip(scale * tw, 0, w - 1)
+        for hi in range(h):
+            x[ci, hi] = np.interp(orig, warped_t, x[ci, hi])
+    return x
+
+
+def window_slice(x, rng, reduce_ratio=0.9):
+    """(reference: dataset.py:140-155)"""
+    c, h, w = x.shape
+    target_len = int(np.ceil(reduce_ratio * w))
+    if target_len >= w:
+        return x
+    start = int(rng.integers(0, w - target_len))
+    for ci in range(c):
+        for hi in range(h):
+            seg = x[ci, hi, start : start + target_len]
+            x[ci, hi] = np.interp(
+                np.linspace(0, target_len, num=w),
+                np.arange(target_len), seg,
+            )
+    return x
+
+
+def window_warp(x, rng, window_ratio=0.25, scales=(0.5, 2.0)):
+    """(reference: dataset.py:157-180)"""
+    c, h, w = x.shape
+    warp_size = int(np.ceil(window_ratio * w))
+    start = int(rng.integers(1, w - warp_size - 1))
+    end = start + warp_size
+    scale = float(rng.choice(scales))
+    steps = np.arange(warp_size)
+    for ci in range(c):
+        for hi in range(h):
+            row = x[ci, hi]
+            mid = np.interp(
+                np.linspace(0, warp_size - 1,
+                            num=max(int(warp_size * scale), 2)),
+                steps, row[start:end],
+            )
+            warped = np.concatenate([row[:start], mid, row[end:]])
+            x[ci, hi] = np.interp(
+                np.arange(w),
+                np.linspace(0, w - 1.0, num=warped.size), warped,
+            )
+    return x
+
+
+class RandomMagnitudeWarp(_RandomTransform):
+    def apply(self, x, rng):
+        return magnitude_warp(x, rng)
+
+
+class RandomTimeWarp(_RandomTransform):
+    def apply(self, x, rng):
+        return time_warp(x, rng)
+
+
+class RandomWindowSlicing(_RandomTransform):
+    def __init__(self, p=0.5, reduce_ratio=0.9):
+        super().__init__(p)
+        self.reduce_ratio = reduce_ratio
+
+    def apply(self, x, rng):
+        return window_slice(x, rng, self.reduce_ratio)
+
+
+class RandomWindowWarping(_RandomTransform):
+    def __init__(self, p=0.5, window_ratio=0.25, scales=(0.5, 2.0)):
+        super().__init__(p)
+        self.window_ratio = window_ratio
+        self.scales = scales
+
+    def apply(self, x, rng):
+        return window_warp(x, rng, self.window_ratio, self.scales)
+
+
+# (reference: dataset.py:330-340)
+two_dim_transforms = {
+    "row_shuffle": RowShuffle,
+    "row_horiz_flip": RandomRowHorizontalFlip,
+    "horiz_flip": RandomHorizontalFlip,
+    "vert_flip": RandomVerticalFlip,
+    "scale": RandomRowScale,
+    "mag_warp": RandomMagnitudeWarp,
+    "win_warp": RandomWindowWarping,
+    "win_slice": RandomWindowSlicing,
+    "time_warp": RandomTimeWarp,
+}

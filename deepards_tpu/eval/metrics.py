@@ -78,6 +78,20 @@ class Reporting:
 
 
 def confusion_counts(actual, pred, cls):
+    """Index-aligned confusion counts.  Like the reference helpers
+    (reference: deepards/metrics.py:23-62), predictions indexed by window
+    may carry several rows per actual row (per-breath classifiers) — each
+    prediction row counts once against its window's label."""
+    if isinstance(actual, pd.Series) and isinstance(pred, pd.Series):
+        pos = actual[actual == cls]
+        neg = actual[actual != cls]
+        pos_pred = pred.loc[pred.index.intersection(pos.index)]
+        neg_pred = pred.loc[pred.index.intersection(neg.index)]
+        tp = int((pos_pred == cls).sum())
+        fn = int((pos_pred != cls).sum())
+        fp = int((neg_pred == cls).sum())
+        tn = int((neg_pred != cls).sum())
+        return tp, fp, tn, fn
     actual = np.asarray(actual)
     pred = np.asarray(pred)
     tp = int(((actual == cls) & (pred == cls)).sum())
@@ -315,7 +329,10 @@ class DeepARDSResults:
             hrs = np.atleast_1d(np.asarray(seq_hours[idx]))
             hours.append(float(hrs[0]))
         frame["hour"] = hours
-        frame = frame.merge(y_test, left_index=True, right_index=True)
+        frame = frame.merge(
+            y_test.drop(columns=["hour"], errors="ignore"),
+            left_index=True, right_index=True,
+        )
         self.pred_to_hour_frame = frame
         tmp = frame.copy()
         tmp["epoch"] = epoch_num

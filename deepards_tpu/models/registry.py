@@ -14,6 +14,8 @@ import numpy as np
 from deepards_tpu.models import (
     autoencoder_cnn,
     densenet1d,
+    densenet2d,
+    detection2d,
     heads,
     nested,
     recurrent,
@@ -72,6 +74,15 @@ BASE_NETWORKS = {
     "se_resnext101_32x4d": _plain_ctor(senet1d, "se_resnext101_32x4d"),
     "unet": lambda conf: unet1d.UNet1DEncoder(),
     "basic_cnn_ae": lambda conf: autoencoder_cnn.AutoencoderCNNEncoder(),
+    "densenet18_2d": lambda conf: densenet2d.densenet18_2d(
+        block_kernel_size=conf.get("block_kernel_size", 3) or 3
+    ),
+    "densenet121_2d": lambda conf: densenet2d.densenet121_2d(
+        block_kernel_size=conf.get("block_kernel_size", 3) or 3
+    ),
+    "densenet18_2x1d": lambda conf: densenet2d.densenet18_2x1d(
+        block_kernel_size=conf.get("block_kernel_size", 3) or 3
+    ),
 }
 
 
@@ -103,6 +114,7 @@ class NetworkSpec:
     super_batch: bool = False  # whole-patient super batches, batch_size=1
     eval_dropout_off: bool = False  # trainer calls model.eval() in reference
     trainer: str = "standard"  # standard|protopnet|siamese
+    two_dim: bool = False  # operates on ImgARDSDataset images
 
 
 def _simple(name, cls, **kw):
@@ -274,6 +286,32 @@ NETWORK_MAP = {
         # built by ProtoPNetTrainer.build_model (needs n_sub_batches etc.)
         lambda conf, bb, s, m: None,
         trainer="protopnet",
+    ),
+    "cnn_linear_2d": NetworkSpec(
+        "cnn_linear_2d",
+        lambda conf, bb, s, m: densenet2d.CNNLinearNetwork2D(
+            breath_block=bb
+        ),
+        two_dim=True,
+    ),
+    "cnn_linear_2x1d": NetworkSpec(
+        "cnn_linear_2x1d",
+        lambda conf, bb, s, m: densenet2d.CNNLinearNetwork2D(
+            breath_block=bb
+        ),
+        two_dim=True,
+    ),
+    "protopnet_2d": NetworkSpec(
+        "protopnet_2d",
+        lambda conf, bb, s, m: None,
+        trainer="protopnet",
+        two_dim=True,
+    ),
+    "retinanet_2d": NetworkSpec(
+        "retinanet_2d",
+        lambda conf, bb, s, m: detection2d.RowBandDetector(breath_block=bb),
+        two_dim=True,
+        kind="detector",
     ),
 }
 

@@ -212,6 +212,34 @@ class Trainer:
                 seed=conf.get("seed", 42) or 42,
             )
             test_dataset.scaling_factors = train_dataset.scaling_factors
+        if self.spec.two_dim:
+            # wrap into image datasets (reference:
+            # train_ards_detector.py:309-313); base_network gets the _2d
+            # suffix automatically (reference :111-116)
+            from deepards_tpu.data.img_dataset import ImgARDSDataset
+
+            base = self.conf.get("base_network", "densenet18")
+            if self.spec.name.endswith("_2x1d"):
+                if "2x1d" not in base:
+                    self.conf.conf["base_network"] = base + "_2x1d"
+            elif "_2d" not in base:
+                self.conf.conf["base_network"] = base + "_2d"
+            train_dataset = ImgARDSDataset(
+                train_dataset,
+                extra_transforms=self.conf.get("two_dim_transforms") or [],
+                add_fft=bool(self.conf.get("with_fft")),
+                fft_only=bool(self.conf.get("only_fft")),
+                fft_real_only=bool(self.conf.get("fft_real_only")),
+                bbox=self.spec.kind == "detector",
+                same_patho_mix=bool(self.conf.get("row_mix")),
+                butter_filter=self.conf.get("butter_freq"),
+                seed=self.conf.get("seed", 42) or 42,
+            )
+            test_dataset = ImgARDSDataset(
+                test_dataset,
+                seed=(self.conf.get("seed", 42) or 42) + 1,
+            )
+            test_dataset.scaling_factors = train_dataset.scaling_factors
         return train_dataset, test_dataset
 
     def _get_transforms(self):
@@ -262,18 +290,86 @@ class Trainer:
                 fold_num, train_dataset, test_dataset, tx
             )
         self.perform_post_modeling_actions()
+        self.perform_plotting(test_dataset)
         return self.results
+
+    def perform_plotting(self, test_dataset):
+        """Flag-gated DTW/disease-evolution plotting
+        (reference: train_ards_detector.py:496-511)."""
+        conf = self.conf
+        wants_dtw = (
+            conf.get("plot_dtw_with_disease")
+            or conf.get("perform_dtw_preprocessing")
+        )
+        wants_plots = (
+            conf.get("plot_untiled_disease_evol")
+            or conf.get("plot_tiled_disease_evol")
+            or conf.get("plot_dtw_with_disease")
+        )
+        if not (wants_dtw or wants_plots):
+            return
+        from deepards_tpu.eval import plots
+
+        dtw_frames = None
+        if wants_dtw:
+            dtw_frames = plots.perform_dtw_preprocessing(
+                self.results, test_dataset, "dtw_cache"
+            )
+        if conf.get("plot_tiled_disease_evol"):
+            plots.plot_tiled_disease_evol(
+                self.results, test_dataset,
+                out_path="prediction_plots/tiled.png",
+                dtw_frames=dtw_frames,
+            )
+        elif wants_plots:
+            plots.perform_hourly_patient_plot(
+                self.results, dtw_frames=dtw_frames
+            )
 
     def run_fold(self, fold_num, train_dataset, test_dataset, tx):
         conf = self.conf
         model = self.build_model()
-        pipeline = BatchPipeline(train_dataset)
+        if self.spec.two_dim:
+            pipeline = None  # ImgARDSDataset.gather pre-normalizes
+        else:
+            pipeline = BatchPipeline(train_dataset)
         self.rng, init_rng = jax.random.split(self.rng)
         sample = train_dataset.gather(train_dataset.current_indices()[:2])
-        state = create_train_state(
-            model, tx, sample, init_rng,
-            has_metadata=self.spec.uses_metadata,
-        )
+        if conf.get("load_checkpoint"):
+            # resume/inference from a saved checkpoint
+            # (reference: train_ards_detector.py:467-469)
+            from deepards_tpu.train import checkpoint
+
+            state = create_train_state(
+                model, tx, sample, init_rng,
+                has_metadata=self.spec.uses_metadata,
+            )
+            restored = checkpoint.restore(conf.load_checkpoint)
+            state = state.replace(params=restored["params"])
+        else:
+            state = create_train_state(
+                model, tx, sample, init_rng,
+                has_metadata=self.spec.uses_metadata,
+            )
+        if conf.get("load_base_network"):
+            # splice a pretrained backbone into the fresh head
+            # (reference: train_ards_detector.py:383-388)
+            from deepards_tpu.train import checkpoint
+
+            pre = checkpoint.load_params(conf.load_base_network)
+            params = dict(state.params)
+            for key in params:
+                if key in pre and key.startswith(
+                    ("DenseNet", "ResNet", "VGG", "SENet", "UNet",
+                     "Autoencoder", "breath_block")
+                ):
+                    params[key] = pre[key]
+            state = state.replace(params=params)
+        if conf.get("freeze_base_network"):
+            from deepards_tpu.train.steps import freeze_backbone
+
+            tx = freeze_backbone(tx, state.params)
+            state = state.replace(opt_state=tx.init(state.params))
         state = mesh_lib.replicate_tree(self.mesh, state)
         train_step, eval_step = make_train_step(
             model,
@@ -282,7 +378,13 @@ class Trainer:
             target_mode=self.spec.target_mode,
             transform=pipeline,
             compute_dtype=self.compute_dtype,
+            eval_dropout_active=not self.spec.eval_dropout_off,
         )
+        if self.spec.stateful_lstm and conf.get("unshuffled"):
+            return self._run_stateful_fold(
+                state, model, pipeline, tx, train_dataset, test_dataset,
+                fold_num,
+            )
         epochs = conf.get("epochs", 10)
         for epoch_num in range(1, epochs + 1):
             if not conf.get("no_train"):
@@ -302,6 +404,137 @@ class Trainer:
         self.final_state = state
         return state
 
+    def _run_stateful_fold(self, state, model, pipeline, tx, train_dataset,
+                           test_dataset, fold_num):
+        """cnn_lstm unshuffled mode: batch_size=1 patient-ordered batches
+        with the LSTM hidden state carried (detached) across batches of
+        the same patient (reference: train_ards_detector.py:826-883).
+        """
+        import functools
+
+        import optax
+
+        from deepards_tpu.train.steps import _maybe_cast
+
+        conf = self.conf
+        loss_fn = self.loss_fn
+        compute_dtype = self.compute_dtype
+
+        def forward(params, data, metadata, carry, dropout_rng,
+                    deterministic):
+            data = pipeline(data)
+            data = _maybe_cast(data, compute_dtype)
+            params_c = _maybe_cast(params, compute_dtype)
+            logits, new_carry = model.apply(
+                {"params": params_c}, data, metadata, deterministic,
+                carry, rngs={"dropout": dropout_rng},
+            )
+            return logits.astype(jnp.float32), new_carry
+
+        def loss_wrap(params, batch, carry, dropout_rng):
+            logits, new_carry = forward(
+                params, batch["data"], batch.get("metadata"), carry,
+                dropout_rng, False,
+            )
+            target = jnp.repeat(
+                batch["target"][:, None, :], logits.shape[1], axis=1
+            )
+            return loss_fn(logits, target), (logits, new_carry)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state, batch, carry):
+            rng, drng = jax.random.split(state.rng)
+            (loss, (_, new_carry)), grads = jax.value_and_grad(
+                loss_wrap, has_aux=True
+            )(state.params, batch, carry, drng)
+            grads = _maybe_cast(grads, jnp.float32)
+            updates, opt_state = tx.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            # detach: carry is returned as plain values, no grad linkage
+            return (
+                state.replace(params=params, opt_state=opt_state, rng=rng,
+                              step=state.step + 1),
+                loss,
+                new_carry,
+            )
+
+        @jax.jit
+        def eval_step(state, batch, carry):
+            rng, drng = jax.random.split(state.rng)
+            loss, (logits, new_carry) = loss_wrap(
+                state.params, batch, carry, drng
+            )
+            return state.replace(rng=rng), loss, logits, new_carry
+
+        def run_epoch(state, dataset, train, fold_num, epoch_num):
+            gt = dataset.get_ground_truth_df()
+            order = gt.index.to_numpy()  # patient-ordered
+            last_pt = None
+            carry = None
+            preds, pred_idx = [], []
+            for idx in order:
+                pt = gt.loc[idx].patient
+                batch = dataset.gather([idx])
+                if pt != last_pt:
+                    carry = self._zero_carry(model, batch)
+                last_pt = pt
+                data = {
+                    "data": jnp.asarray(batch["data"]),
+                    "target": jnp.asarray(batch["target"]),
+                }
+                if "metadata" in batch:
+                    data["metadata"] = jnp.asarray(batch["metadata"])
+                if train:
+                    state, loss, carry = train_step(state, data, carry)
+                    self.results.update_loss(fold_num, float(loss))
+                else:
+                    state, loss, logits, carry = eval_step(
+                        state, data, carry
+                    )
+                    self.results.update_meter(
+                        "test_loss", fold_num, float(loss)
+                    )
+                    out = np.asarray(logits)
+                    preds.extend(out.argmax(axis=-1).reshape(-1).tolist())
+                    pred_idx.extend([int(idx)] * out.shape[1])
+                if conf.get("debug"):
+                    break
+            if not train and preds:
+                self.record_classifier_results(
+                    preds, pred_idx, dataset, fold_num, epoch_num
+                )
+            return state
+
+        epochs = conf.get("epochs", 10)
+        for epoch_num in range(1, epochs + 1):
+            if not conf.get("no_train"):
+                state = run_epoch(state, train_dataset, True, fold_num,
+                                  epoch_num)
+            state = run_epoch(state, test_dataset, False, fold_num,
+                              epoch_num)
+        self.final_state = state
+        return state
+
+    def _zero_carry(self, model, batch):
+        """Fresh zero LSTM carry sized to the model's hidden width."""
+        hidden = model.lstm_hidden_units + (
+            model.metadata_features if not model.bm_to_linear else 0
+        )
+        b = batch["data"].shape[0]
+        zeros = jnp.zeros((b, hidden), jnp.float32)
+        return (zeros, zeros)
+
+    def _prepare_batch(self, batch, batch_size):
+        """Pad to a dp-divisible fixed size, shard, and build the mask."""
+        dp = self.mesh.shape[mesh_lib.DATA_AXIS]
+        target = -(-batch_size // dp) * dp
+        batch, mask = _pad_batch(batch, target)
+        batch, _ = mesh_lib.shard_batch(self.mesh, batch)
+        mask = jax.device_put(mask, mesh_lib.batch_sharding(self.mesh))
+        return batch, mask
+
     def run_train_epoch(self, state, train_step, dataset, fold_num,
                         epoch_num):
         conf = self.conf
@@ -314,7 +547,11 @@ class Trainer:
         )
         if self.verbose:
             print("train instances: {}".format(len(loader)))
+        # 1D augmentation hook; 2D datasets apply their own transform list
+        # inside gather()
         transforms = getattr(dataset, "transforms", None)
+        if not callable(transforms):
+            transforms = None
         for i, batch in enumerate(loader):
             if transforms is not None:
                 from deepards_tpu.data.augment import apply_to_batch
@@ -322,11 +559,7 @@ class Trainer:
                 batch["data"] = apply_to_batch(
                     transforms, batch["data"], self.host_rng
                 )
-            batch, mask = _pad_batch(batch, batch_size)
-            batch, _ = mesh_lib.shard_batch(self.mesh, batch)
-            mask = jax.device_put(
-                mask, mesh_lib.batch_sharding(self.mesh)
-            )
+            batch, mask = self._prepare_batch(batch, batch_size)
             state, loss = train_step(state, batch, mask)
             loss = float(loss)
             self.results.update_meter(
@@ -359,9 +592,7 @@ class Trainer:
         for batch in loader:
             obs_idx = batch.pop("index")
             n_real = batch["data"].shape[0]
-            batch, mask = _pad_batch(batch, batch_size)
-            batch, _ = mesh_lib.shard_batch(self.mesh, batch)
-            mask = jax.device_put(mask, mesh_lib.batch_sharding(self.mesh))
+            batch, mask = self._prepare_batch(batch, batch_size)
             state, loss, out = eval_step(state, batch, mask)
             self.results.update_meter("test_loss", fold_num, float(loss))
             self.results.update_epoch_meter(
@@ -404,7 +635,8 @@ class Trainer:
             y_test, series, fold_num, epoch_num, verbose=self.verbose
         )
         seq_hours = {
-            int(i): dataset.cache.hours[int(i)] for i in y_test.index
+            int(i): np.atleast_1d(dataset.seq_hours_for([int(i)])[0])
+            for i in y_test.index
         }
         self.results.save_predictions_by_hour(
             y_test, series, seq_hours, epoch_num, fold_num

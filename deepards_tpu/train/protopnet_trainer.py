@@ -116,6 +116,16 @@ class ProtoPNetTrainer(Trainer):
 
     def build_model(self):
         base = get_base_network(self.conf)
+        if self.spec.two_dim:
+            from deepards_tpu.models.protopnet2d import construct_ppnet_2d
+
+            return construct_ppnet_2d(
+                base,
+                n_prototypes=self.conf.get("n_prototypes", 10) or 10,
+                incorrect_strength=(
+                    self.conf.get("incorrect_strength", -0.5) or -0.5
+                ),
+            )
         return construct_ppnet(
             base,
             sub_batch_size=self.n_sub_batches,
@@ -153,7 +163,10 @@ class ProtoPNetTrainer(Trainer):
     def run_fold(self, fold_num, train_dataset, test_dataset, tx_unused):
         conf = self.conf
         model = self.build_model()
-        pipeline = BatchPipeline(train_dataset)
+        if self.spec.two_dim:
+            pipeline = lambda x: x  # ImgARDSDataset pre-normalizes
+        else:
+            pipeline = BatchPipeline(train_dataset)
         self.rng, init_rng = jax.random.split(self.rng)
         sample = train_dataset.gather(train_dataset.current_indices()[:2])
         variables = model.init(
@@ -171,7 +184,10 @@ class ProtoPNetTrainer(Trainer):
         )
         state = mesh_lib.replicate_tree(self.mesh, state)
 
-        ident_w = model.class_identity_windows()
+        if hasattr(model, "class_identity_windows"):
+            ident_w = model.class_identity_windows()
+        else:
+            ident_w = model.class_identity()
         max_dist = model.max_dist
         clust_l = conf.get("clust_lambda", 0.8)
         sep_l = conf.get("sep_lambda", 0.2)
@@ -281,9 +297,7 @@ class ProtoPNetTrainer(Trainer):
         )
         for batch in loader:
             batch.pop("index")
-            batch, mask = _pad_batch(batch, batch_size)
-            batch, _ = mesh_lib.shard_batch(self.mesh, batch)
-            mask = jax.device_put(mask, mesh_lib.batch_sharding(self.mesh))
+            batch, mask = self._prepare_batch(batch, batch_size)
             state, loss, aux = step(state, batch, mask)
             cls_loss, clust, sep, l1 = [float(a) for a in aux]
             self.results.update_meter("cls_loss", fold_num, cls_loss)

@@ -53,6 +53,23 @@ def make_optimizer(
     return optax.chain(*chain)
 
 
+_BACKBONE_PREFIXES = (
+    "DenseNet", "ResNet", "VGG", "SENet", "UNet", "Autoencoder",
+    "breath_block",
+)
+
+
+def freeze_backbone(tx, params):
+    """Zero updates for backbone params
+    (reference --freeze-base-network, train_ards_detector.py:411-413)."""
+    mask = {
+        k: not k.startswith(_BACKBONE_PREFIXES) for k in params
+    }
+    return optax.chain(
+        optax.masked(tx, mask),
+    )
+
+
 def create_train_state(model, tx, sample_batch, rng, has_metadata=False):
     init_rng, dropout_rng, state_rng = jax.random.split(rng, 3)
     metadata = sample_batch.get("metadata") if has_metadata else None
@@ -90,6 +107,7 @@ def make_train_step(
     transform: Optional[Callable] = None,
     compute_dtype=None,
     dropout_active: bool = True,
+    eval_dropout_active: Optional[bool] = None,
 ):
     """Build the jitted train step.
 
@@ -102,7 +120,10 @@ def make_train_step(
     transform: the device-side normalization pipeline applied to raw data.
     """
 
-    def loss_wrap(params, batch, mask, dropout_rng):
+    if eval_dropout_active is None:
+        eval_dropout_active = dropout_active
+
+    def loss_wrap(params, batch, mask, dropout_rng, active=dropout_active):
         data = batch["data"]
         if transform is not None:
             data = transform(data)
@@ -112,7 +133,7 @@ def make_train_step(
             {"params": params_c},
             data,
             batch.get("metadata"),
-            not dropout_active,
+            not active,
             rngs={"dropout": dropout_rng},
         )
         if isinstance(out, tuple):
@@ -143,7 +164,10 @@ def make_train_step(
         # deliberate parity with the reference, which never calls
         # model.eval() (reference: train_ards_detector.py:427-448)
         rng, dropout_rng = jax.random.split(state.rng)
-        loss, out = loss_wrap(state.params, batch, mask, dropout_rng)
+        loss, out = loss_wrap(
+            state.params, batch, mask, dropout_rng,
+            active=eval_dropout_active,
+        )
         return state.replace(rng=rng), loss, out
 
     return train_step, eval_step
