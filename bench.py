@@ -63,28 +63,68 @@ def build():
 
 
 def measure():
+    """Steady-state train+infer throughput.
+
+    Steps are fused with lax.scan over stacked batches (one dispatch per
+    STEPS steps) — the framework's epoch-stepping mode; per-step python
+    dispatch would otherwise dominate on the tunneled single chip.
+    """
     state, train_step, eval_step, batch, mask = build()
-    # warmup/compile
+    # warmup/compile single-step paths
     state, loss = train_step(state, batch, mask)
     jax.block_until_ready(loss)
     state, eval_loss, out = eval_step(state, batch, mask)
     jax.block_until_ready(out)
 
+    # generate the stacked batches on-device (a host->device copy of
+    # ~100MB through the tunneled chip would dominate the measurement)
+    key = jax.random.PRNGKey(1)
+    k1, k2 = jax.random.split(key)
+    stacked = {
+        "data": jax.random.normal(
+            k1, (STEPS, BATCH, WINDOWS, 1, LEN), jnp.float32
+        ),
+        "target": jax.nn.one_hot(
+            jax.random.randint(k2, (STEPS, BATCH), 0, 2), 2
+        ),
+    }
+    masks = jnp.ones((STEPS, BATCH), jnp.float32)
+
+    @jax.jit
+    def train_scan(state, stacked, masks):
+        def body(s, xs):
+            b, m = xs
+            s, l = train_step(s, b, m)
+            return s, l
+        return jax.lax.scan(body, state, (stacked, masks))
+
+    @jax.jit
+    def eval_scan(state, stacked, masks):
+        def body(s, xs):
+            b, m = xs
+            s, l, o = eval_step(s, b, m)
+            return s, (l, o)
+        return jax.lax.scan(body, state, (stacked, masks))
+
+    # compile
+    state2, losses = train_scan(state, stacked, masks)
+    jax.block_until_ready(losses)
+    state2, (els, outs) = eval_scan(state2, stacked, masks)
+    jax.block_until_ready(outs)
+
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, loss = train_step(state, batch, mask)
-    jax.block_until_ready(loss)
+    state2, losses = train_scan(state2, stacked, masks)
+    jax.block_until_ready(losses)
     train_time = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, eval_loss, out = eval_step(state, batch, mask)
-    jax.block_until_ready(out)
+    state2, (els, outs) = eval_scan(state2, stacked, masks)
+    jax.block_until_ready(outs)
     infer_time = time.perf_counter() - t0
 
     total_seqs = 2 * STEPS * BATCH
     seqs_per_sec = total_seqs / (train_time + infer_time)
-    return seqs_per_sec, float(loss)
+    return seqs_per_sec, float(losses[-1])
 
 
 def measure_torch_baseline():

@@ -1,0 +1,154 @@
+"""CLI tool integration: evaluate-ensemble, predict, mean-metrics,
+visualize, anonymize."""
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import yaml
+
+from deepards_tpu.config import Configuration
+from deepards_tpu.train.loop import make_trainer
+
+
+@pytest.fixture(scope="module")
+def trained_run(synthetic_cohort, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli_run")
+    saved = str(tmp / "saved_models")
+    cache = str(tmp / "cache.npz")
+    conf = Configuration(overrides=dict(
+        data_path=synthetic_cohort["data_path"],
+        cohort_file=synthetic_cohort["cohort_file"],
+        experiment_num=1,
+        network="cnn_linear",
+        base_network="densenet18",
+        dataset_type="unpadded_centered_sequences",
+        n_sub_batches=4,
+        kfolds=2,
+        epochs=1,
+        batch_size=8,
+        compute_dtype="float32",
+        results_dir=str(tmp),
+        save_model="model-run-0",
+        save_model_per_epoch=True,
+        saved_models_dir=saved,
+        train_to_pickle=cache,
+        seed=11,
+    ))
+    trainer = make_trainer(conf, verbose=False)
+    trainer.train_and_test()
+    return {"tmp": tmp, "saved": saved, "cache": cache, "conf": conf}
+
+
+def test_evaluate_ensemble_cli(trained_run, monkeypatch):
+    from deepards_tpu.cli.evaluate import main
+
+    ckpts = sorted(os.listdir(trained_run["saved"]))
+    per_fold = {
+        f: [c for c in ckpts
+            if c.endswith("fold{}".format(f)) and "epoch" in c]
+        for f in (0, 1)
+    }
+    assert all(per_fold.values())
+    eval_yml = trained_run["tmp"] / "eval.yml"
+    eval_yml.write_text(yaml.dump({
+        "network": "cnn_linear",
+        "base_network": "densenet18",
+        "dataset_type": "unpadded_centered_sequences",
+        "batch_size": 8,
+        "n_sub_batches": 4,
+        "kfolds": 2,
+        "compute_dtype": "float32",
+        "results_dir": str(trained_run["tmp"] / "eval_results"),
+        "train_from_pickle": trained_run["cache"],
+        "models": per_fold,
+    }))
+    monkeypatch.chdir(trained_run["tmp"])
+    main(["-co", str(eval_yml), "--saved-models-dir", trained_run["saved"]])
+
+
+def test_predict_cli(trained_run, monkeypatch, synthetic_cohort):
+    from deepards_tpu.cli.predict import predict
+
+    ckpt = os.path.join(
+        trained_run["saved"],
+        [c for c in os.listdir(trained_run["saved"])
+         if c.endswith("fold0") and "epoch" in c][0],
+    )
+    conf = Configuration(overrides=dict(
+        data_path=synthetic_cohort["data_path"],
+        cohort_file=synthetic_cohort["cohort_file"],
+        experiment_num=1,
+        network="cnn_linear",
+        base_network="densenet18",
+        dataset_type="unpadded_centered_sequences",
+        n_sub_batches=4,
+        kfolds=2,
+        only_fold=0,
+        batch_size=8,
+        compute_dtype="float32",
+        seed=11,
+    ))
+    frame, votes = predict(conf, ckpt, batch_size=8)
+    assert {"patient", "prob_ards", "prediction"} <= set(frame.columns)
+    assert (frame.prob_ards + frame.prob_other).round(3).eq(1.0).all()
+    assert len(votes) == frame.patient.nunique()
+    assert votes.pred_frac.between(0, 1).all()
+
+
+def test_mean_metrics_cli(trained_run, capsys):
+    from deepards_tpu.cli.mean_metrics import main
+
+    files = [
+        str(trained_run["tmp"] / f)
+        for f in os.listdir(trained_run["tmp"])
+        if f.endswith("_patient_results.pkl")
+    ]
+    assert files
+    out = main(files)
+    assert {"fold", "max_epoch", "AUC"} <= set(out.columns)
+
+
+def test_visualize_results_cli(trained_run, tmp_path):
+    from deepards_tpu.cli.visualize_results import main
+
+    out = str(tmp_path / "auc.png")
+    main(["--results-dir", str(trained_run["tmp"]),
+          "--metric", "test_auc", "-o", out])
+    assert os.path.exists(out)
+
+
+def test_anonymize_cohort_cli(tmp_path):
+    from deepards_tpu.cli.anonymize_cohort import anonymize_cohort
+
+    cohort = tmp_path / "cohort.csv"
+    pd.DataFrame({
+        "Patient Unique Identifier": ["0001RPI001", "0002RPI002"],
+        "Pathophysiology": ["ARDS", "COPD"],
+        "Date when Berlin criteria first met (m/dd/yyy)":
+            ["2017-01-01 05:00:00", ""],
+        "vent_start_time": ["2017-01-01 00:00:00", "2017-01-02 00:00:00"],
+    }).to_csv(cohort, index=False)
+    shifts = tmp_path / "shifts.csv"
+    pd.DataFrame({
+        "patient_id": ["0001RPI001", "0002RPI002"],
+        "new_patient_id": [1, 2],
+        "shift_hours": [5, -3],
+    }).to_csv(shifts, index=False)
+    out = anonymize_cohort(str(shifts), str(cohort),
+                           str(tmp_path / "anon.csv"))
+    anon = pd.read_csv(out)
+    assert list(anon["Patient Unique Identifier"]) == [1, 2]
+    # +5h shift applied
+    assert anon.iloc[0]["vent_start_time"] == "2017-01-01 05:00:00"
+
+
+def test_run_experiments_dry_run(capsys):
+    from deepards_tpu.cli.run_experiments import main
+
+    main(["expA.yml", "-n", "3", "--device-assignment", "0+1",
+          "--dry-run"])
+    out = capsys.readouterr().out
+    assert out.count("run:") == 3
+    assert "(device 0)" in out and "(device 1)" in out
