@@ -32,7 +32,12 @@ STEPS = 20
 TORCH_CPU_BASELINE_SEQS_PER_SEC = None  # populated from file if present
 
 
+TRAIN_SCAN = None
+EVAL_SCAN = None
+
+
 def build():
+    global TRAIN_SCAN, EVAL_SCAN
     from deepards_tpu.models.densenet1d import densenet18
     from deepards_tpu.models.heads import CNNLinearNetwork
     from deepards_tpu.train import losses as loss_lib
@@ -53,10 +58,11 @@ def build():
         "target": np.eye(2, dtype=np.float32)[rng.integers(0, 2, BATCH)],
     }
     state = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
-    train_step, eval_step = make_train_step(
+    train_step, eval_step, train_scan, eval_scan = make_train_step(
         model, tx, loss_lib.bce_with_logits,
         target_mode="per_sample", compute_dtype=jnp.bfloat16,
     )
+    TRAIN_SCAN, EVAL_SCAN = train_scan, eval_scan
     mask = jnp.ones(BATCH, jnp.float32)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     return state, train_step, eval_step, batch, mask
@@ -90,21 +96,8 @@ def measure():
     }
     masks = jnp.ones((STEPS, BATCH), jnp.float32)
 
-    @jax.jit
-    def train_scan(state, stacked, masks):
-        def body(s, xs):
-            b, m = xs
-            s, l = train_step(s, b, m)
-            return s, l
-        return jax.lax.scan(body, state, (stacked, masks))
-
-    @jax.jit
-    def eval_scan(state, stacked, masks):
-        def body(s, xs):
-            b, m = xs
-            s, l, o = eval_step(s, b, m)
-            return s, (l, o)
-        return jax.lax.scan(body, state, (stacked, masks))
+    train_scan = TRAIN_SCAN
+    eval_scan = EVAL_SCAN
 
     # compile
     state2, losses = train_scan(state, stacked, masks)

@@ -48,7 +48,7 @@ def main(argv=None):
     for fold in range(kfolds):
         test_dataset.set_kfold_indexes_for_fold(fold)
         pipeline = BatchPipeline(test_dataset)
-        _, eval_step = make_train_step(
+        _, eval_step, _, _ = make_train_step(
             model, tx, trainer.loss_fn,
             target_mode=trainer.spec.target_mode, transform=pipeline,
             compute_dtype=trainer.compute_dtype,

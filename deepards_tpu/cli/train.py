@@ -145,6 +145,11 @@ def build_parser():
                         choices=["bfloat16", "float32"])
     parser.add_argument("--seed", type=int)
     parser.add_argument("--results-dir")
+    flag("--parallel-folds",
+         "train all kfolds simultaneously under vmap (TPU-native)")
+    parser.add_argument("--fused-steps", type=int,
+                        help="train steps fused per device dispatch "
+                        "(lax.scan); 1 disables")
     return parser
 
 

@@ -39,6 +39,10 @@ def make_trainer(conf, **kwargs):
     (the reference's network_map trainer-class dispatch,
     train_ards_detector.py:1410-1436)."""
     spec = get_network_spec(conf.network)
+    if conf.get("parallel_folds") and spec.trainer == "standard":
+        from deepards_tpu.train.parallel_folds import ParallelFoldTrainer
+
+        return ParallelFoldTrainer(conf, **kwargs)
     if spec.trainer == "protopnet":
         from deepards_tpu.train.protopnet_trainer import ProtoPNetTrainer
 
@@ -371,7 +375,7 @@ class Trainer:
             tx = freeze_backbone(tx, state.params)
             state = state.replace(opt_state=tx.init(state.params))
         state = mesh_lib.replicate_tree(self.mesh, state)
-        train_step, eval_step = make_train_step(
+        train_step, eval_step, train_scan, eval_scan = make_train_step(
             model,
             tx,
             self.loss_fn,
@@ -389,7 +393,8 @@ class Trainer:
         for epoch_num in range(1, epochs + 1):
             if not conf.get("no_train"):
                 state = self.run_train_epoch(
-                    state, train_step, train_dataset, fold_num, epoch_num
+                    state, train_step, train_dataset, fold_num, epoch_num,
+                    train_scan=train_scan,
                 )
             if conf.get("reshuffle_oversample_per_epoch"):
                 train_dataset.set_oversampling_indices()
@@ -536,9 +541,15 @@ class Trainer:
         return batch, mask
 
     def run_train_epoch(self, state, train_step, dataset, fold_num,
-                        epoch_num):
+                        epoch_num, train_scan=None):
         conf = self.conf
         batch_size = conf.get("batch_size", 16)
+        fused = conf.get("fused_steps") or 1
+        if fused > 1 and train_scan is not None:
+            return self._run_train_epoch_fused(
+                state, train_step, train_scan, dataset, fold_num,
+                epoch_num, fused,
+            )
         loader = EpochLoader(
             dataset,
             batch_size,
@@ -579,6 +590,67 @@ class Trainer:
                 break
             if conf.get("debug"):
                 break
+        return state
+
+    def _run_train_epoch_fused(self, state, train_step, train_scan,
+                               dataset, fold_num, epoch_num, fused):
+        """Run the epoch in chunks of ``fused`` steps per device dispatch
+        (lax.scan over stacked batches).  Remainder batches run single-step.
+        Enable with fused_steps: N in the config."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        conf = self.conf
+        batch_size = conf.get("batch_size", 16)
+        dp = self.mesh.shape[mesh_lib.DATA_AXIS]
+        target = -(-batch_size // dp) * dp
+        loader = EpochLoader(
+            dataset, batch_size,
+            shuffle=not conf.get("unshuffled"), rng=self.host_rng,
+        )
+        if self.verbose:
+            print("train instances: {} (fused x{})".format(
+                len(loader), fused))
+        stacked_sharding = NamedSharding(
+            self.mesh, P(None, mesh_lib.DATA_AXIS)
+        )
+        pend_b, pend_m = [], []
+
+        def flush(state, pend_b, pend_m):
+            stacked = {
+                k: np.stack([b[k] for b in pend_b])
+                for k in pend_b[0]
+                if k != "index"
+            }
+            masks = np.stack(pend_m)
+            stacked = {
+                k: jax.device_put(v, stacked_sharding)
+                for k, v in stacked.items()
+            }
+            masks = jax.device_put(masks, stacked_sharding)
+            state, losses = train_scan(state, stacked, masks)
+            for l in np.asarray(losses):
+                self.results.update_meter(
+                    "loss_epoch_{}".format(epoch_num), fold_num, float(l)
+                )
+                self.results.update_loss(fold_num, float(l))
+            return state
+
+        for batch in loader:
+            batch.pop("index", None)
+            batch, mask = _pad_batch(batch, target)
+            pend_b.append(batch)
+            pend_m.append(mask)
+            if len(pend_b) == fused:
+                state = flush(state, pend_b, pend_m)
+                pend_b, pend_m = [], []
+            if conf.get("debug"):
+                break
+        # remainder: single steps
+        for batch, mask in zip(pend_b, pend_m):
+            sb, _ = mesh_lib.shard_batch(self.mesh, batch)
+            m = jax.device_put(mask, mesh_lib.batch_sharding(self.mesh))
+            state, loss = train_step(state, sb, m)
+            self.results.update_loss(fold_num, float(loss))
         return state
 
     def run_test_epoch(self, state, eval_step, dataset, fold_num, epoch_num):

@@ -170,4 +170,25 @@ def make_train_step(
         )
         return state.replace(rng=rng), loss, out
 
-    return train_step, eval_step
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_scan(state, stacked_batch, stacked_mask):
+        """N steps in ONE dispatch (lax.scan over the leading axis).
+        Python dispatch latency otherwise floors small-batch step time."""
+
+        def body(s, xs):
+            b, m = xs
+            s, loss = train_step(s, b, m)
+            return s, loss
+
+        return jax.lax.scan(body, state, (stacked_batch, stacked_mask))
+
+    @jax.jit
+    def eval_scan(state, stacked_batch, stacked_mask):
+        def body(s, xs):
+            b, m = xs
+            s, loss, out = eval_step(s, b, m)
+            return s, (loss, out)
+
+        return jax.lax.scan(body, state, (stacked_batch, stacked_mask))
+
+    return train_step, eval_step, train_scan, eval_scan

@@ -113,3 +113,44 @@ def test_e2e_regression_network(synthetic_cohort, tmp_path):
     results = trainer.train_and_test()
     assert len(results.get_meter("test_mae", 0)) == 1
     assert len(results.get_meter("test_r2", 0)) == 1
+
+
+def test_e2e_fused_steps_matches_capability(synthetic_cohort, tmp_path):
+    """Fused-epoch mode (lax.scan over steps) trains and evaluates."""
+    conf = _conf(
+        synthetic_cohort,
+        results_dir=str(tmp_path),
+        kfolds=2,
+        only_fold=0,
+        epochs=2,
+        fused_steps=3,
+    )
+    trainer = Trainer(conf, verbose=False)
+    results = trainer.train_and_test()
+    loss_meter = results.get_meter("loss", 0)
+    assert len(loss_meter) > 0
+    assert np.isfinite(loss_meter.values).all()
+    assert len(results.get_meter("test_auc", 0)) == 2
+
+
+def test_e2e_parallel_folds(synthetic_cohort, tmp_path):
+    """All folds train simultaneously under vmap; per-fold AUC meters and
+    patient predictions appear for every fold."""
+    from deepards_tpu.train.loop import make_trainer
+
+    conf = _conf(
+        synthetic_cohort,
+        results_dir=str(tmp_path),
+        kfolds=2,
+        epochs=2,
+        parallel_folds=True,
+    )
+    trainer = make_trainer(conf, verbose=False)
+    from deepards_tpu.train.parallel_folds import ParallelFoldTrainer
+
+    assert isinstance(trainer, ParallelFoldTrainer)
+    results = trainer.train_and_test()
+    for f in (0, 1):
+        assert len(results.get_meter("loss", f)) > 0
+        assert len(results.get_meter("test_auc", f)) == 2
+    assert set(results.results.fold_num.unique()) == {0, 1}
