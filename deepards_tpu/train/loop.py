@@ -51,6 +51,14 @@ def make_trainer(conf, **kwargs):
         from deepards_tpu.train.siamese_trainer import SiameseTrainer
 
         return SiameseTrainer(conf, **kwargs)
+    if spec.kind == "detector":
+        from deepards_tpu.train.detector_trainer import DetectorTrainer
+
+        return DetectorTrainer(conf, **kwargs)
+    if spec.super_batch:
+        from deepards_tpu.train.nested_trainer import NestedTrainer
+
+        return NestedTrainer(conf, **kwargs)
     return Trainer(conf, **kwargs)
 
 

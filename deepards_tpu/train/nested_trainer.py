@@ -1,0 +1,146 @@
+"""Whole-patient "super batch" training for the nested networks.
+
+(reference: NestedMixin + CNNToNested* trainers,
+deepards/train_ards_detector.py:680-794 — batch_size forced to 1, each
+sample is ALL windows of one patient.)
+
+TPU-first shift: patients have ragged window counts, which would force a
+recompile per patient.  Windows-per-patient are bucketed to a small set
+of power-of-two lengths; shorter patients pad by cyclically repeating
+their own windows (median pooling over windows is invariant to whole
+cycles, and the temporal nets see a repeated — not foreign — history).
+Loss semantics follow loss_calc: 'all_breaths' (target repeated over
+windows) or 'last_breath'.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from deepards_tpu.parallel import mesh as mesh_lib
+from deepards_tpu.train.loop import Trainer
+from deepards_tpu.train.steps import TrainState, _maybe_cast
+
+
+def _bucket(n):
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+class NestedTrainer(Trainer):
+    """batch = one patient's windows (1, W_bucket, S, C, L)."""
+
+    def _patient_groups(self, dataset):
+        gt = dataset.get_ground_truth_df()
+        groups = []
+        for pt, rows in gt.groupby("patient"):
+            groups.append((pt, rows.index.to_numpy(), int(rows.y.iloc[0])))
+        return groups
+
+    def _gather_super_batch(self, dataset, idxs):
+        data = dataset.cache.data[np.asarray(idxs, np.int64)]
+        w = data.shape[0]
+        bucket = _bucket(w)
+        if bucket > w:
+            reps = -(-bucket // w)
+            data = np.tile(data, (reps, 1, 1, 1))[:bucket]
+        return data[None]  # (1, W_bucket, S, C, L)
+
+    def run_fold(self, fold_num, train_dataset, test_dataset, tx):
+        conf = self.conf
+        model = self.build_model()
+        from deepards_tpu.data.pipeline import BatchPipeline
+
+        pipeline = BatchPipeline(train_dataset)
+        self.rng, init_rng = jax.random.split(self.rng)
+        groups = self._patient_groups(train_dataset)
+        sample = self._gather_super_batch(train_dataset, groups[0][1][:2])
+        variables = model.init(
+            {"params": init_rng, "dropout": init_rng},
+            jnp.asarray(sample), None, True,
+        )
+        params = variables["params"]
+        state = TrainState(
+            params=params, opt_state=tx.init(params),
+            rng=jax.random.fold_in(init_rng, 5),
+            step=jnp.zeros((), jnp.int32),
+        )
+        state = mesh_lib.replicate_tree(self.mesh, state)
+        loss_fn = self.loss_fn
+        compute_dtype = self.compute_dtype
+        last_breath = conf.get("loss_calc") == "last_breath"
+
+        def loss_wrap(params, data, target, dropout_rng):
+            data = pipeline(data.reshape(-1, *data.shape[2:]))
+            data = data.reshape(1, -1, *data.shape[1:])
+            data = _maybe_cast(data, compute_dtype)
+            params_c = _maybe_cast(params, compute_dtype)
+            out = model.apply(
+                {"params": params_c}, data, None, False,
+                rngs={"dropout": dropout_rng},
+            ).astype(jnp.float32)  # (1, W, 2)
+            if last_breath:
+                return loss_fn(out[:, -1, :], target), out
+            t = jnp.repeat(target[:, None, :], out.shape[1], axis=1)
+            return loss_fn(out, t), out
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state, data, target):
+            rng, drng = jax.random.split(state.rng)
+            (loss, _), grads = jax.value_and_grad(
+                loss_wrap, has_aux=True
+            )(state.params, data, target, drng)
+            grads = _maybe_cast(grads, jnp.float32)
+            updates, opt_state = tx.update(
+                grads, state.opt_state, state.params
+            )
+            return (
+                state.replace(
+                    params=optax.apply_updates(state.params, updates),
+                    opt_state=opt_state, rng=rng, step=state.step + 1,
+                ),
+                loss,
+            )
+
+        @jax.jit
+        def eval_step(state, data, target):
+            rng, drng = jax.random.split(state.rng)
+            loss, out = loss_wrap(state.params, data, target, drng)
+            return state.replace(rng=rng), loss, out
+
+        epochs = conf.get("epochs", 10)
+        for epoch_num in range(1, epochs + 1):
+            order = self.host_rng.permutation(len(groups))
+            for gi in order:
+                pt, idxs, y = groups[gi]
+                data = self._gather_super_batch(train_dataset, idxs)
+                target = jnp.asarray(np.eye(2, dtype=np.float32)[y][None])
+                state, loss = train_step(state, jnp.asarray(data), target)
+                self.results.update_loss(fold_num, float(loss))
+                if conf.get("debug"):
+                    break
+            state = self._nested_test_epoch(
+                state, eval_step, test_dataset, fold_num, epoch_num
+            )
+        self.final_state = state
+        return state
+
+    def _nested_test_epoch(self, state, eval_step, dataset, fold_num,
+                           epoch_num):
+        preds, pred_idx = [], []
+        for pt, idxs, y in self._patient_groups(dataset):
+            data = self._gather_super_batch(dataset, idxs)
+            target = jnp.asarray(np.eye(2, dtype=np.float32)[y][None])
+            state, loss, out = eval_step(state, jnp.asarray(data), target)
+            self.results.update_meter("test_loss", fold_num, float(loss))
+            out = np.asarray(out)[0, : len(idxs)]  # (W, 2) drop repeats
+            preds.extend(out.argmax(axis=-1).tolist())
+            pred_idx.extend(np.asarray(idxs).tolist())
+        self.record_classifier_results(
+            preds, pred_idx, dataset, fold_num, epoch_num
+        )
+        return state

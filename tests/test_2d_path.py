@@ -167,3 +167,59 @@ def test_cnn_linear_2d_e2e(synthetic_cohort, tmp_path):
     results = trainer.train_and_test()
     assert len(results.get_meter("loss", 0)) > 0
     assert len(results.get_meter("test_auc", 0)) == 1
+
+
+def test_detector_trainer_e2e(synthetic_cohort, tmp_path):
+    from deepards_tpu.config import Configuration
+    from deepards_tpu.train.loop import make_trainer
+    from deepards_tpu.train.detector_trainer import DetectorTrainer
+
+    conf = Configuration(overrides=dict(
+        data_path=synthetic_cohort["data_path"],
+        cohort_file=synthetic_cohort["cohort_file"],
+        experiment_num=1,
+        network="retinanet_2d",
+        base_network="densenet18",
+        dataset_type="unpadded_centered_sequences",
+        n_sub_batches=4,
+        kfolds=2,
+        only_fold=0,
+        epochs=1,
+        batch_size=4,
+        compute_dtype="float32",
+        results_dir=str(tmp_path),
+    ))
+    trainer = make_trainer(conf, verbose=False)
+    assert isinstance(trainer, DetectorTrainer)
+    results = trainer.train_and_test()
+    assert len(results.get_meter("loss", 0)) > 0
+    iou = results.get_meter("band_iou", 0)
+    assert len(iou) == 1
+    assert 0.0 <= iou.values[0] <= 1.0
+
+
+def test_nested_trainer_e2e(synthetic_cohort, tmp_path):
+    from deepards_tpu.config import Configuration
+    from deepards_tpu.train.loop import make_trainer
+    from deepards_tpu.train.nested_trainer import NestedTrainer
+
+    conf = Configuration(overrides=dict(
+        data_path=synthetic_cohort["data_path"],
+        cohort_file=synthetic_cohort["cohort_file"],
+        experiment_num=1,
+        network="cnn_to_nested_lstm",
+        base_network="densenet18",
+        dataset_type="unpadded_centered_sequences",
+        n_sub_batches=4,
+        kfolds=2,
+        only_fold=0,
+        epochs=1,
+        batch_size=1,
+        compute_dtype="float32",
+        results_dir=str(tmp_path),
+    ))
+    trainer = make_trainer(conf, verbose=False)
+    assert isinstance(trainer, NestedTrainer)
+    results = trainer.train_and_test()
+    assert len(results.get_meter("loss", 0)) > 0
+    assert len(results.get_meter("test_auc", 0)) == 1

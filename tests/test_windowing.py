@@ -174,3 +174,62 @@ def test_rows_to_cache():
     assert cache.target.shape == (5, 2)
     assert cache.patients == ["1"]
     assert len(cache) == 5
+
+
+def test_stretched_breath_by_breath_assembly():
+    """Short breaths are FFT-stretched to 224, long breaths truncated."""
+    breaths = [np.sin(np.linspace(0, np.pi, 60)) * 30 for _ in range(4)]
+    rows, _ = assemble_windows(
+        _stream(breaths), "stretched_breath_by_breath", n_sub_batches=4
+    )
+    assert len(rows) == 1
+    data = rows[0][1]
+    assert data.shape == (4, 1, SEQ_LEN)
+    # stretched: no zero padding tail, energy spread across full window
+    assert np.abs(data[0, 0, -10:]).sum() > 0
+
+
+def test_spaced_padded_assembly():
+    breaths = [np.ones(56) for _ in range(4)]
+    rows, _ = assemble_windows(
+        _stream(breaths), "spaced_padded_breath_by_breath", n_sub_batches=4
+    )
+    data = rows[0][1]
+    # spaced: samples distributed with zero gaps, count preserved
+    assert np.count_nonzero(data[0, 0]) == 56
+    nz = np.nonzero(data[0, 0])[0]
+    assert nz[-1] > 200  # spread over the full window
+
+
+def test_downsampled_centered_assembly():
+    """Breaths are resampled by 1/factor before window accumulation."""
+    breaths = [np.full(100, float(i + 1)) for i in range(24)]
+    rows, _ = assemble_windows(
+        _stream(breaths), "unpadded_centered_downsampled_sequences",
+        n_sub_batches=2, unpadded_downsample_factor=4.0,
+    )
+    assert len(rows) >= 1
+    data = rows[0][1]
+    # 100-sample breaths downsample to 25 -> ~9 breaths per 224 sub-seq
+    # first 25 samples come from breath 1 (approximately constant 1.0)
+    assert abs(float(np.median(data[0, 0, :20])) - 1.0) < 0.2
+    assert abs(float(np.median(data[0, 0, 30:45])) - 2.0) < 0.3
+
+
+def test_autoencoder_target_is_nan():
+    breaths = [np.full(100, 1.0) for _ in range(24)]
+
+    def stream():
+        for i, flow in enumerate(breaths):
+            yield "1", {
+                "flow": np.asarray(flow),
+                "vent_bn": 100 + i,
+                "_target": np.array([np.nan, np.nan], np.float32),
+            }, 0.0
+
+    rows, _ = assemble_windows(
+        stream(), "unpadded_downsampled_autoencoder_sequences",
+        n_sub_batches=2, unpadded_downsample_factor=4.0,
+    )
+    cache = rows_to_cache(rows, autoencoder_target=True)
+    assert np.isnan(cache.target).all()
