@@ -15,6 +15,29 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Initialize the multi-host JAX runtime (call once, before any
+    device op, on every host of a pod slice).  No-op when single-process
+    or when already initialized.  Collectives then ride ICI within the
+    slice and DCN across slices, with no further code changes — GSPMD
+    sees the global mesh."""
+    import jax
+
+    try:
+        if coordinator_address:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        else:
+            jax.distributed.initialize()
+    except (RuntimeError, ValueError):
+        # already initialized or single-process environment
+        pass
+
+
 def make_mesh(dp_devices=-1, model_devices=1, devices=None):
     """Build a (data, model) mesh.  dp_devices=-1 uses all local devices
     divided by model_devices."""

@@ -622,6 +622,7 @@ class Trainer:
             self.mesh, P(None, mesh_lib.DATA_AXIS)
         )
         pend_b, pend_m = [], []
+        pending_losses = []
 
         def flush(state, pend_b, pend_m):
             stacked = {
@@ -636,11 +637,9 @@ class Trainer:
             }
             masks = jax.device_put(masks, stacked_sharding)
             state, losses = train_scan(state, stacked, masks)
-            for l in np.asarray(losses):
-                self.results.update_meter(
-                    "loss_epoch_{}".format(epoch_num), fold_num, float(l)
-                )
-                self.results.update_loss(fold_num, float(l))
+            # defer materialization: blocking on the loss here would
+            # serialize host batch-stacking with device compute
+            pending_losses.append(losses)
             return state
 
         for batch in loader:
@@ -658,7 +657,13 @@ class Trainer:
             sb, _ = mesh_lib.shard_batch(self.mesh, batch)
             m = jax.device_put(mask, mesh_lib.batch_sharding(self.mesh))
             state, loss = train_step(state, sb, m)
-            self.results.update_loss(fold_num, float(loss))
+            pending_losses.append(loss[None])
+        for losses in pending_losses:
+            for l in np.asarray(losses):
+                self.results.update_meter(
+                    "loss_epoch_{}".format(epoch_num), fold_num, float(l)
+                )
+                self.results.update_loss(fold_num, float(l))
         return state
 
     def run_test_epoch(self, state, eval_step, dataset, fold_num, epoch_num):

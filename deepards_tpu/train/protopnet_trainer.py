@@ -317,7 +317,8 @@ class ProtoPNetTrainer(Trainer):
         over the train set and overwrite prototype_vectors
         (reference: deepards/models/protopnet1d/ppnet_push.py push loop).
         Also records push metadata for prototype visualization."""
-        p, c, k = model.prototype_shape
+        p = model.num_prototypes
+        c = model.proto_channels
         ident = model.class_identity()  # (P, n_cls)
 
         @jax.jit
@@ -327,9 +328,12 @@ class ProtoPNetTrainer(Trainer):
                 method=model.push_forward,
                 rngs={"dropout": jax.random.PRNGKey(0)},
             )
-            # feats: (B,S,L',C) dists: (B,S,L'',P)
-            b, s, lpp, np_ = dists.shape
-            flat_d = dists.reshape(b, s * lpp, np_)
+            # 1D: feats (B,S,L',C) dists (B,S,L'',P);
+            # 2D: feats (B,H',W',C) dists (B,H'*W',P) — flatten both to
+            # (B, positions, .) uniformly
+            b = dists.shape[0]
+            np_ = dists.shape[-1]
+            flat_d = dists.reshape(b, -1, np_)
             # mask windows whose class doesn't own the prototype
             cls_of_proto = jnp.asarray(ident.argmax(axis=1))  # (P,)
             label = target.argmax(axis=1)  # (B,)
@@ -377,8 +381,11 @@ class ProtoPNetTrainer(Trainer):
                     "flat_pos": int(np.asarray(pos)[j]),
                     "distance": float(dmin[j]),
                 }
+        proto_shape = np.asarray(
+            state.params["prototype_vectors"]
+        ).shape
         new_protos = jnp.asarray(
-            global_patch.reshape(p, c, 1), dtype=jnp.float32
+            global_patch.reshape(proto_shape), dtype=jnp.float32
         )
         params = dict(state.params)
         params["prototype_vectors"] = new_protos

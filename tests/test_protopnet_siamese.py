@@ -117,3 +117,32 @@ def test_siamese_e2e(synthetic_cohort, tmp_path):
     acc = results.get_meter("accuracy", 0)
     assert len(acc) >= 1
     assert 0.0 <= acc.values[-1] <= 1.0
+
+
+@pytest.mark.slow
+def test_protopnet_2d_e2e(synthetic_cohort, tmp_path):
+    conf = Configuration(overrides=dict(
+        data_path=synthetic_cohort["data_path"],
+        cohort_file=synthetic_cohort["cohort_file"],
+        experiment_num=1,
+        network="protopnet_2d",
+        base_network="densenet18",
+        dataset_type="unpadded_centered_sequences",
+        n_sub_batches=4,
+        kfolds=2,
+        only_fold=0,
+        epochs=2,
+        batch_size=4,
+        n_warm_epochs=1,
+        push_start_epoch=2,
+        push_every_n=2,
+        n_push_iters=1,
+        n_prototypes=2,
+        compute_dtype="float32",
+        results_dir=str(tmp_path),
+    ))
+    trainer = make_trainer(conf, verbose=False)
+    results = trainer.train_and_test()
+    assert len(results.get_meter("cls_loss", 0)) > 0
+    assert hasattr(trainer, "last_push_info")
+    assert any(i is not None for i in trainer.last_push_info)
