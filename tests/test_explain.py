@@ -124,3 +124,49 @@ def test_prototype_viz_and_shap(synthetic_cohort, tmp_path):
     assert shap.shape[1] == model.num_prototypes
     # linear-model exactness: shap values sum to logit deviation from base
     assert np.isfinite(base)
+
+
+def test_cam_analytics(cnn_linear_fitted, synthetic_cohort, tmp_path):
+    from deepards_tpu.data.dataset import ARDSRawDataset
+    from deepards_tpu.explain.cam_analytics import (
+        cluster_prototypes,
+        collect_cams,
+        frequency_band_analytics,
+        kmean_clust_search,
+        pca_2d,
+        viz_pca_clustering,
+    )
+    from deepards_tpu.explain.gradcam import MaxMinNormCam
+
+    model, params = cnn_linear_fitted
+    ds = ARDSRawDataset(
+        synthetic_cohort["data_path"], 1, synthetic_cohort["cohort_file"],
+        n_sub_batches=2, dataset_type="unpadded_centered_sequences",
+        kfold_num=0, total_kfolds=2,
+    )
+    cam_gen = MaxMinNormCam(model, params)
+    X, seq_map, pathos = collect_cams(cam_gen, ds, max_windows=16)
+    assert X.shape == (16, 7)
+
+    distortions, inertias, sil, best_k, gap_frame = kmean_clust_search(
+        X, max_clusts=5
+    )
+    assert len(distortions) == 3
+    assert 2 <= best_k < 5
+    assert {"clusterCount", "gap"} <= set(gap_frame.columns)
+
+    coords = pca_2d(X)
+    assert coords.shape == (16, 2)
+    out = viz_pca_clustering(X, str(tmp_path / "pca.png"), max_k=4)
+    assert out
+
+    protos = cluster_prototypes(X, 2, ds, seq_map)
+    assert len(protos) == 2
+    assert all(p["sequence"].shape == ds.cache.data[0].shape
+               for p in protos)
+
+    bands = frequency_band_analytics({
+        0: X[pathos == 0], 1: X[pathos == 1]
+    })
+    assert len(bands) == 2
+    assert (bands[["0-2Hz", "2-8Hz", "8-25Hz"]].to_numpy() >= 0).all()
