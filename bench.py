@@ -105,18 +105,23 @@ def measure():
     state2, (els, outs) = eval_scan(state2, stacked, masks)
     jax.block_until_ready(outs)
 
-    t0 = time.perf_counter()
-    state2, losses = train_scan(state2, stacked, masks)
-    jax.block_until_ready(losses)
-    train_time = time.perf_counter() - t0
+    # median of repeats: steady-state, robust to tunnel jitter
+    train_times, infer_times = [], []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        state2, losses = train_scan(state2, stacked, masks)
+        jax.block_until_ready(losses)
+        train_times.append(time.perf_counter() - t0)
 
-    t0 = time.perf_counter()
-    state2, (els, outs) = eval_scan(state2, stacked, masks)
-    jax.block_until_ready(outs)
-    infer_time = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        state2, (els, outs) = eval_scan(state2, stacked, masks)
+        jax.block_until_ready(outs)
+        infer_times.append(time.perf_counter() - t0)
 
     total_seqs = 2 * STEPS * BATCH
-    seqs_per_sec = total_seqs / (train_time + infer_time)
+    seqs_per_sec = total_seqs / (
+        float(np.median(train_times)) + float(np.median(infer_times))
+    )
     return seqs_per_sec, float(losses[-1])
 
 
