@@ -307,7 +307,12 @@ class DeepARDSResults:
         maximals = []
         for fold_num in aggregate.fold_num.unique():
             fold_stats = aggregate[aggregate.fold_num == fold_num]
-            max_auc_idx = fold_stats.auc.idxmax()
+            if fold_stats.auc.notna().any():
+                max_auc_idx = fold_stats.auc.idxmax()
+            else:
+                # degenerate fold (single-class test set -> AUC undefined):
+                # fall back to the last epoch rather than crashing
+                max_auc_idx = fold_stats.index[-1]
             epoch_max = aggregate.loc[max_auc_idx].epoch_num
             maximals.append(fold_stats[fold_stats.epoch_num == epoch_max])
         maximals = pd.concat(maximals, ignore_index=True)

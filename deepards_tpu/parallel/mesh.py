@@ -88,3 +88,46 @@ def shard_batch(mesh, batch):
 def replicate_tree(mesh, tree):
     sharding = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+# shard the classifier-head Dense (and its optimizer trace, which mirrors
+# the param tree) over the model axis: kernel (F, out) column-sharded,
+# bias (out,) sharded.  Matched by substring against the pytree key path.
+HEAD_DENSE_MODEL_RULES = (
+    ("Dense_0']['kernel", P(None, MODEL_AXIS)),
+    ("Dense_0']['bias", P(MODEL_AXIS)),
+)
+
+
+def shard_state(mesh, tree, rules=()):
+    """Place a train-state pytree on the mesh: every leaf replicated unless
+    a (path-substring, PartitionSpec) rule matches — used to shard wide
+    head layers over the ``model`` axis (tensor parallelism) while the
+    backbone stays replicated (data parallelism)."""
+    from jax.tree_util import keystr, tree_map_with_path
+
+    def put(path, x):
+        spec = P()
+        name = keystr(path)
+        ndim = getattr(x, "ndim", 0)
+        for pat, rule_spec in rules:
+            axis_sizes = [
+                mesh.shape[a] for a in rule_spec if a is not None
+            ]
+            if (
+                pat in name
+                and ndim >= len(rule_spec)
+                and all(s > 1 for s in axis_sizes)
+            ):
+                # only apply when the sharded dims divide evenly
+                dims = x.shape[: len(rule_spec)]
+                ok = all(
+                    a is None or dims[i] % mesh.shape[a] == 0
+                    for i, a in enumerate(rule_spec)
+                )
+                if ok:
+                    spec = rule_spec
+                    break
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return tree_map_with_path(put, tree)
