@@ -1,13 +1,31 @@
-"""Benchmark: breath-sequences/sec (train + infer) on the flagship config.
+"""Benchmark: breath-sequences/sec (train + infer) per chip.
 
-Runs the quickstart model (cnn_linear on densenet18-1D, 20-window breath
-sequences, batch 16 — BASELINE.json config #1) through jitted train and
-eval steps on the available accelerator and prints ONE json line.
+Covers all five BASELINE.json benchmark configs:
 
-``vs_baseline`` compares against a CPU PyTorch-equivalent baseline of the
-reference's per-sample-loop forward (measured on this host via the torch
-CPU build; see --measure-torch-baseline) with a conservative stored
-fallback when torch measurement is skipped.
+  1. cnn_linear on unpadded_centered_sequences nb20 (quickstart, headline)
+  2. padded_breath_by_breath + ResNet-18-1D, kfolds=5 (all 5 folds train
+     SIMULTANEOUSLY under vmap — the TPU-native formulation of k-fold CV)
+  3. breath-metadata pretraining regression (cnn_regressor)
+  4. cnn_lstm temporal model
+  5. ProtoPNet train + GradCAM explainability pass
+
+``python bench.py`` prints ONE json line for the headline config;
+``--config N`` selects another config.  Measurement validity is enforced
+rather than assumed:
+
+- every timed region ends with a device->host scalar fetch
+  (``float(losses.sum())``) so the clock cannot stop at enqueue time
+  (the tunneled chip's ``block_until_ready`` was observed returning
+  early on donated-carry scans — BENCH_r01 artifact);
+- a linearity self-check times the same scan at N and 2N fused steps and
+  refuses the measurement if 2N is not ~2x N;
+- compiled-HLO FLOPs (XLA cost analysis) give an implied TFLOP/s and MFU,
+  and the bench REFUSES to print any number that implies more than the
+  chip's bf16 peak.
+
+``vs_baseline`` compares against the reference's torch-CPU per-sample
+train+infer loop measured on this host (``--measure-torch-baseline``;
+note the host has a single CPU core — see ``baseline_note``).
 """
 import argparse
 import json
@@ -21,113 +39,475 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persist XLA compilations: the linearity check compiles each scan at two
+# lengths and the FLOPs probe re-lowers them — cache makes repeat runs fast
+jax.config.update("jax_compilation_cache_dir", "/tmp/deepards_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 BATCH = 16
 WINDOWS = 20
 LEN = 224
-STEPS = 20
+# fused steps per scan dispatch (linearity check times N and 2N).  Sized
+# per config so compute dominates the ~30ms fixed tunnel dispatch+fetch
+# overhead (measured: scan time = 29.6ms + 0.62ms/step for config 1).
+STEPS_BY_CONFIG = {1: 200, 2: 50, 3: 400, 4: 200, 5: 100}
 
-# breath-sequences/sec of the reference's torch-CPU train+infer loop on
-# this class of host (measured via --measure-torch-baseline; updated when
-# re-measured). One "breath sequence" = one (WINDOWS,1,224) sample.
-TORCH_CPU_BASELINE_SEQS_PER_SEC = None  # populated from file if present
+# bf16 peak TFLOP/s per chip, by device_kind substring
+PEAK_TFLOPS = (
+    ("TPU v5 lite", 197.0),
+    ("TPU v5e", 197.0),
+    ("TPU v5p", 459.0),
+    ("TPU v4", 275.0),
+    ("TPU v6", 918.0),
+)
+
+CONFIG_NAMES = {
+    1: "cnn_linear_unpadded_centered_nb20",
+    2: "resnet18_padded_breath_by_breath_kfold5_vmapped",
+    3: "bm_pretraining_regression",
+    4: "cnn_lstm_unpadded_centered_nb20",
+    5: "protopnet_train_plus_gradcam",
+}
 
 
-TRAIN_SCAN = None
-EVAL_SCAN = None
+def _chip_peak_tflops():
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        return None
+    for sub, peak in PEAK_TFLOPS:
+        if sub.lower() in kind.lower():
+            return peak
+    if jax.devices()[0].platform == "cpu":
+        return None
+    return None
 
 
-def build():
-    global TRAIN_SCAN, EVAL_SCAN
-    from deepards_tpu.models.densenet1d import densenet18
-    from deepards_tpu.models.heads import CNNLinearNetwork
-    from deepards_tpu.train import losses as loss_lib
-    from deepards_tpu.train.steps import (
-        create_train_state,
-        make_optimizer,
-        make_train_step,
-    )
+def _step_flops(step_fn, *args):
+    """Compiled-HLO flop count for ONE step program (None if the backend
+    does not expose cost analysis).  Probed on the un-scanned step because
+    XLA cost analysis counts a scan body once, not per trip."""
+    try:
+        cost = jax.jit(step_fn).lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
 
-    model = CNNLinearNetwork(breath_block=densenet18())
-    tx = make_optimizer(
+
+def _force(x):
+    """Device->host fetch: the only trustworthy completion barrier on the
+    tunneled chip."""
+    return float(jnp.asarray(x).sum())
+
+
+def _median_time(fn, repeats=3):
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+class ScanBench:
+    """Times a (state, stacked, masks) -> (state, aux) scan at N and 2N
+    steps with forced completion, returning (time_2n, linearity, flops_2n).
+    """
+
+    def __init__(self, scan_fn, state, make_stacked, n_steps,
+                 donates_state=True):
+        self.scan_fn = scan_fn
+        self.make_stacked = make_stacked
+        self.n = n_steps
+        self.stacked_n, self.masks_n = make_stacked(n_steps)
+        self.stacked_2n, self.masks_2n = make_stacked(2 * n_steps)
+        self.state = state
+        self.donates_state = donates_state
+
+    def _call(self, stacked, masks):
+        out = self.scan_fn(self.state, stacked, masks)
+        if self.donates_state:
+            self.state = out[0]
+        aux = out[1]
+        if isinstance(aux, tuple):
+            aux = aux[0]
+        return _force(aux)
+
+    def run(self):
+        # compile both step counts
+        self._call(self.stacked_n, self.masks_n)
+        self._call(self.stacked_2n, self.masks_2n)
+        t_n = _median_time(lambda: self._call(self.stacked_n, self.masks_n))
+        t_2n = _median_time(
+            lambda: self._call(self.stacked_2n, self.masks_2n)
+        )
+        linearity = t_2n / t_n
+        return t_2n, linearity
+
+
+def _make_optimizer():
+    from deepards_tpu.train.steps import make_optimizer
+
+    return make_optimizer(
         optimizer="sgd", learning_rate=0.001, weight_decay=1e-4,
         clip_grad=True, clip_val=0.01,
     )
+
+
+def _stacked_batches(key, n_steps, batch, windows, length, n_out=2,
+                     target_shape=None):
+    """On-device random stacked batches (a ~100MB host->device copy
+    through the tunnel would dominate the measurement)."""
+    k1, k2 = jax.random.split(jax.random.fold_in(key, n_steps))
+    data = jax.random.normal(
+        k1, (n_steps, batch, windows, 1, length), jnp.float32
+    )
+    if target_shape is not None:
+        target = jax.random.normal(
+            k2, (n_steps,) + target_shape, jnp.float32
+        )
+    else:
+        target = jax.nn.one_hot(
+            jax.random.randint(k2, (n_steps, batch), 0, n_out), n_out
+        )
+    masks = jnp.ones((n_steps, batch), jnp.float32)
+    return {"data": data, "target": target}, masks
+
+
+def _standard_config(model, loss_fn, target_mode, batch=BATCH,
+                     windows=WINDOWS, target_shape=None):
+    from deepards_tpu.train.steps import create_train_state, make_train_step
+
+    tx = _make_optimizer()
     rng = np.random.default_rng(0)
-    batch = {
-        "data": rng.normal(size=(BATCH, WINDOWS, 1, LEN)).astype(np.float32),
-        "target": np.eye(2, dtype=np.float32)[rng.integers(0, 2, BATCH)],
+    sample = {
+        "data": rng.normal(size=(batch, windows, 1, LEN)).astype(np.float32),
+        "target": (
+            rng.normal(size=target_shape).astype(np.float32)
+            if target_shape is not None
+            else np.eye(2, dtype=np.float32)[rng.integers(0, 2, batch)]
+        ),
     }
-    state = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
+    state = create_train_state(model, tx, sample, jax.random.PRNGKey(0))
     train_step, eval_step, train_scan, eval_scan = make_train_step(
-        model, tx, loss_lib.bce_with_logits,
-        target_mode="per_sample", compute_dtype=jnp.bfloat16,
+        model, tx, loss_fn, target_mode=target_mode,
+        compute_dtype=jnp.bfloat16,
     )
-    TRAIN_SCAN, EVAL_SCAN = train_scan, eval_scan
-    mask = jnp.ones(BATCH, jnp.float32)
-    batch = {k: jnp.asarray(v) for k, v in batch.items()}
-    return state, train_step, eval_step, batch, mask
-
-
-def measure():
-    """Steady-state train+infer throughput.
-
-    Steps are fused with lax.scan over stacked batches (one dispatch per
-    STEPS steps) — the framework's epoch-stepping mode; per-step python
-    dispatch would otherwise dominate on the tunneled single chip.
-    """
-    state, train_step, eval_step, batch, mask = build()
-    # warmup/compile single-step paths
-    state, loss = train_step(state, batch, mask)
-    jax.block_until_ready(loss)
-    state, eval_loss, out = eval_step(state, batch, mask)
-    jax.block_until_ready(out)
-
-    # generate the stacked batches on-device (a host->device copy of
-    # ~100MB through the tunneled chip would dominate the measurement)
+    one_batch = {k: jnp.asarray(v) for k, v in sample.items()}
+    one_mask = jnp.ones(batch, jnp.float32)
+    f_train = _step_flops(train_step, state, one_batch, one_mask)
+    f_eval = _step_flops(eval_step, state, one_batch, one_mask)
     key = jax.random.PRNGKey(1)
-    k1, k2 = jax.random.split(key)
-    stacked = {
-        "data": jax.random.normal(
-            k1, (STEPS, BATCH, WINDOWS, 1, LEN), jnp.float32
-        ),
-        "target": jax.nn.one_hot(
-            jax.random.randint(k2, (STEPS, BATCH), 0, 2), 2
-        ),
-    }
-    masks = jnp.ones((STEPS, BATCH), jnp.float32)
 
-    train_scan = TRAIN_SCAN
-    eval_scan = EVAL_SCAN
+    def make_stacked(n):
+        return _stacked_batches(
+            key, n, batch, windows, LEN,
+            target_shape=(
+                None if target_shape is None else (batch,) + target_shape[1:]
+            ),
+        )
 
-    # compile
-    state2, losses = train_scan(state, stacked, masks)
-    jax.block_until_ready(losses)
-    state2, (els, outs) = eval_scan(state2, stacked, masks)
-    jax.block_until_ready(outs)
+    return state, train_scan, eval_scan, make_stacked, batch, (f_train,
+                                                               f_eval)
 
-    # median of repeats: steady-state, robust to tunnel jitter
-    train_times, infer_times = [], []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        state2, losses = train_scan(state2, stacked, masks)
-        jax.block_until_ready(losses)
-        train_times.append(time.perf_counter() - t0)
 
-        t0 = time.perf_counter()
-        state2, (els, outs) = eval_scan(state2, stacked, masks)
-        jax.block_until_ready(outs)
-        infer_times.append(time.perf_counter() - t0)
-
-    total_seqs = 2 * STEPS * BATCH
-    seqs_per_sec = total_seqs / (
-        float(np.median(train_times)) + float(np.median(infer_times))
+def _measure_train_eval(state, train_scan, eval_scan, make_stacked,
+                        seqs_per_step, step_flops, n_steps):
+    tb = ScanBench(train_scan, state, make_stacked, n_steps)
+    t_train, lin_train = tb.run()
+    eb = ScanBench(eval_scan, tb.state, make_stacked, n_steps,
+                   donates_state=False)
+    t_eval, lin_eval = eb.run()
+    total_seqs = 2 * (2 * n_steps) * seqs_per_step
+    total_time = t_train + t_eval
+    f_train, f_eval = step_flops
+    flops = (
+        (f_train + f_eval) * 2 * n_steps
+        if f_train is not None and f_eval is not None
+        else None
     )
-    return seqs_per_sec, float(losses[-1])
+    return {
+        "seqs_per_sec": total_seqs / total_time,
+        "time": total_time,
+        "linearity": (lin_train + lin_eval) / 2,
+        "flops": flops,
+    }
+
+
+# ---- configs --------------------------------------------------------------
+
+def config1():
+    from deepards_tpu.models.densenet1d import densenet18
+    from deepards_tpu.models.heads import CNNLinearNetwork
+    from deepards_tpu.train import losses as loss_lib
+
+    model = CNNLinearNetwork(breath_block=densenet18())
+    return _measure_train_eval(
+        *_standard_config(model, loss_lib.bce_with_logits, "per_sample"),
+        n_steps=STEPS_BY_CONFIG[1],
+    )
+
+
+def config3():
+    from deepards_tpu.models.densenet1d import densenet18
+    from deepards_tpu.models.heads import CNNRegressor
+    from deepards_tpu.train import losses as loss_lib
+
+    # bm pretraining: batch 64, single-breath windows, 9 regression targets
+    model = CNNRegressor(breath_block=densenet18(), n_outputs=9)
+    return _measure_train_eval(
+        *_standard_config(
+            model, loss_lib.mse, "regression", batch=64, windows=1,
+            target_shape=(64, 9),
+        ),
+        n_steps=STEPS_BY_CONFIG[3],
+    )
+
+
+def config4():
+    from deepards_tpu.models.densenet1d import densenet18
+    from deepards_tpu.models.recurrent import CNNLSTMNetwork
+    from deepards_tpu.train import losses as loss_lib
+
+    model = CNNLSTMNetwork(breath_block=densenet18(), lstm_hidden_units=16)
+    return _measure_train_eval(
+        *_standard_config(model, loss_lib.bce_with_logits, "per_breath"),
+        n_steps=STEPS_BY_CONFIG[4],
+    )
+
+
+def config2():
+    """ResNet-18-1D, kfolds=5: the fold axis is vmapped — one jitted scan
+    advances all five folds per step (SURVEY §2.10 design shift)."""
+    import optax
+
+    from deepards_tpu.models.heads import CNNLinearNetwork
+    from deepards_tpu.models.resnet1d import resnet18
+    from deepards_tpu.train import losses as loss_lib
+    from deepards_tpu.train.steps import _maybe_cast
+
+    n_folds = 5
+    model = CNNLinearNetwork(breath_block=resnet18())
+    tx = _make_optimizer()
+    loss_fn = loss_lib.bce_with_logits
+
+    sample = jnp.zeros((BATCH, WINDOWS, 1, LEN), jnp.float32)
+
+    def init_one(key):
+        k1, k2 = jax.random.split(key)
+        return model.init(
+            {"params": k1, "dropout": k2}, sample, None, True
+        )["params"]
+
+    fold_keys = jax.random.split(jax.random.PRNGKey(0), n_folds)
+    params = jax.jit(jax.vmap(init_one))(fold_keys)
+    opt_state = jax.vmap(tx.init)(params)
+    rngs = jax.random.split(jax.random.PRNGKey(7), n_folds)
+    state = (params, opt_state, rngs)
+
+    def fold_loss(p, data, target, mask, drng):
+        p_c = _maybe_cast(p, jnp.bfloat16)
+        out = model.apply(
+            {"params": p_c}, data.astype(jnp.bfloat16), None, False,
+            rngs={"dropout": drng},
+        ).astype(jnp.float32)
+        return loss_fn(out, target, mask)
+
+    def fold_step(p, o, r, data, target, mask):
+        r, drng = jax.random.split(r)
+        loss, grads = jax.value_and_grad(fold_loss)(
+            p, data, target, mask, drng
+        )
+        grads = _maybe_cast(grads, jnp.float32)
+        updates, o = tx.update(grads, o, p)
+        p = optax.apply_updates(p, updates)
+        return p, o, r, loss
+
+    vstep = jax.vmap(fold_step)
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_scan(state, stacked, masks):
+        def body(s, xs):
+            b, m = xs
+            p, o, r, loss = vstep(s[0], s[1], s[2], b["data"], b["target"], m)
+            return (p, o, r), loss
+
+        return jax.lax.scan(body, state, (stacked, masks))
+
+    def fold_eval(p, r, data, target, mask):
+        r, drng = jax.random.split(r)
+        loss = fold_loss(p, data, target, mask, drng)
+        return r, loss
+
+    veval = jax.vmap(fold_eval)
+
+    @jax.jit
+    def eval_scan(state, stacked, masks):
+        p, o, r = state
+
+        def body(rr, xs):
+            b, m = xs
+            rr, loss = veval(p, rr, b["data"], b["target"], m)
+            return rr, loss
+
+        r, losses = jax.lax.scan(body, r, (stacked, masks))
+        return (p, o, r), losses
+
+    key = jax.random.PRNGKey(2)
+
+    def make_stacked(n):
+        k1, k2 = jax.random.split(jax.random.fold_in(key, n))
+        data = jax.random.normal(
+            k1, (n, n_folds, BATCH, WINDOWS, 1, LEN), jnp.float32
+        )
+        target = jax.nn.one_hot(
+            jax.random.randint(k2, (n, n_folds, BATCH), 0, 2), 2
+        )
+        masks = jnp.ones((n, n_folds, BATCH), jnp.float32)
+        return {"data": data, "target": target}, masks
+
+    n_steps = STEPS_BY_CONFIG[2]
+    one, one_masks = make_stacked(1)
+    one_b = {k: v[0] for k, v in one.items()}
+    f_train = _step_flops(
+        lambda s, b, m: vstep(s[0], s[1], s[2], b["data"], b["target"], m),
+        state, one_b, one_masks[0],
+    )
+    f_eval = _step_flops(
+        lambda s, b, m: veval(s[0], s[2], b["data"], b["target"], m),
+        state, one_b, one_masks[0],
+    )
+    tb = ScanBench(train_scan, state, make_stacked, n_steps)
+    t_train, lin_train = tb.run()
+    eb = ScanBench(eval_scan, tb.state, make_stacked, n_steps,
+                   donates_state=False)
+    t_eval, lin_eval = eb.run()
+    total_seqs = 2 * (2 * n_steps) * BATCH * n_folds
+    flops = (
+        (f_train + f_eval) * 2 * n_steps
+        if f_train is not None and f_eval is not None
+        else None
+    )
+    return {
+        "seqs_per_sec": total_seqs / (t_train + t_eval),
+        "time": t_train + t_eval,
+        "linearity": (lin_train + lin_eval) / 2,
+        "flops": flops,
+    }
+
+
+def config5():
+    """ProtoPNet joint-stage training scan + a GradCAM-style explainability
+    pass (per-read cams over one batch of sequences)."""
+    import functools
+
+    import optax
+
+    from deepards_tpu.models.densenet1d import densenet18
+    from deepards_tpu.models.protopnet1d import construct_ppnet
+    from deepards_tpu.train.protopnet_trainer import ppnet_loss
+    from deepards_tpu.train.steps import _maybe_cast
+
+    model = construct_ppnet(densenet18(), sub_batch_size=WINDOWS)
+    tx = _make_optimizer()
+    sample = jnp.zeros((BATCH, WINDOWS, 1, LEN), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        sample, None, True,
+    )
+    params = variables["params"]
+    state = (params, tx.init(params), jax.random.PRNGKey(3))
+    ident = model.class_identity_windows()
+    max_dist = model.max_dist
+
+    def loss_wrap(p, data, target, mask, drng):
+        p_c = _maybe_cast(p, jnp.bfloat16)
+        logits, min_d = model.apply(
+            {"params": p_c}, data.astype(jnp.bfloat16), None, False,
+            rngs={"dropout": drng},
+        )
+        loss, _ = ppnet_loss(
+            logits.astype(jnp.float32), target,
+            min_d.astype(jnp.float32), ident, max_dist,
+            weights=mask,
+        )
+        return loss
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_scan(state, stacked, masks):
+        def body(s, xs):
+            p, o, r = s
+            b, m = xs
+            r, drng = jax.random.split(r)
+            loss, grads = jax.value_and_grad(loss_wrap)(
+                p, b["data"], b["target"], m, drng
+            )
+            grads = _maybe_cast(grads, jnp.float32)
+            updates, o = tx.update(grads, o, p)
+            p = optax.apply_updates(p, updates)
+            return (p, o, r), loss
+
+        return jax.lax.scan(body, state, (stacked, masks))
+
+    key = jax.random.PRNGKey(4)
+
+    def make_stacked(n):
+        return _stacked_batches(key, n, BATCH, WINDOWS, LEN)
+
+    n_steps = STEPS_BY_CONFIG[5]
+    one, one_masks = make_stacked(1)
+    f_train = _step_flops(
+        lambda p, d, t, m: loss_wrap(p, d, t, m, jax.random.PRNGKey(0)),
+        params, one["data"][0], one["target"][0], one_masks[0],
+    )
+    tb = ScanBench(train_scan, state, make_stacked, n_steps)
+    t_train, lin_train = tb.run()
+
+    # GradCAM pass over one batch of sequences (per-read cams)
+    from deepards_tpu.explain.gradcam import MaxMinNormCam
+    from deepards_tpu.models.heads import CNNLinearNetwork
+
+    cam_model = CNNLinearNetwork(breath_block=densenet18())
+    cam_vars = cam_model.init(
+        {"params": jax.random.PRNGKey(5), "dropout": jax.random.PRNGKey(6)},
+        sample, None, True,
+    )
+    cam = MaxMinNormCam(cam_model, cam_vars["params"])
+    x_seqs = np.asarray(
+        np.random.default_rng(0).normal(size=(BATCH, WINDOWS, 1, LEN)),
+        np.float32,
+    )
+    targets = np.ones(BATCH, np.int32)
+    cam.generate_read_cams_batch(x_seqs, targets)  # compile
+    t0 = time.perf_counter()
+    cams, _ = cam.generate_read_cams_batch(x_seqs, targets)
+    assert cams.shape[0] == BATCH
+    t_cam = time.perf_counter() - t0
+
+    total_seqs = (2 * n_steps) * BATCH + BATCH  # train + explained seqs
+    # fwd-only flops ~3x less than train; train-loss flops per step stands
+    # in for the full step (conservative: opt/grad flops uncounted)
+    flops = f_train * 2 * n_steps if f_train is not None else None
+    return {
+        "seqs_per_sec": total_seqs / (t_train + t_cam),
+        "time": t_train + t_cam,
+        "linearity": lin_train,
+        "flops": flops,  # cam pass flops not counted (conservative)
+    }
+
+
+CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
 
 
 def measure_torch_baseline():
     """Reference-equivalent torch CPU loop: python-level per-sample backbone
-    calls (the reference's forward pattern) + backward + SGD."""
+    calls (the reference's forward pattern,
+    torch_cnn_linear_network.py:104-113) + backward + SGD."""
     import torch
     import torch.nn as nn
 
@@ -138,7 +518,6 @@ def measure_torch_baseline():
         # parameter scale, including its per-sample python forward loop
         def __init__(self):
             super().__init__()
-            from collections import OrderedDict
 
             def dense_block(in_ch, layers, growth):
                 mods = []
@@ -237,6 +616,7 @@ def measure_torch_baseline():
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=1, choices=sorted(CONFIGS))
     ap.add_argument("--measure-torch-baseline", action="store_true")
     args = ap.parse_args()
 
@@ -250,17 +630,55 @@ def main():
         print(json.dumps({"torch_cpu_baseline_seqs_per_sec": base}))
         return
 
-    seqs_per_sec, loss = measure()
-    baseline = TORCH_CPU_BASELINE_SEQS_PER_SEC
+    res = CONFIGS[args.config]()
+
+    if res["linearity"] < 1.5:
+        raise RuntimeError(
+            "linearity self-check failed (2N/N time ratio {:.2f} < 1.5): "
+            "the timed region is not measuring compute; refusing to report"
+            .format(res["linearity"])
+        )
+
+    peak = _chip_peak_tflops()
+    implied_tflops = (
+        res["flops"] / res["time"] / 1e12 if res["flops"] else None
+    )
+    mfu = None
+    if implied_tflops is not None and peak is not None:
+        mfu = implied_tflops / peak
+        if mfu > 1.0:
+            raise RuntimeError(
+                "implied {:.1f} TFLOP/s exceeds the chip's {:.1f} TFLOP/s "
+                "bf16 peak — measurement artifact; refusing to report"
+                .format(implied_tflops, peak)
+            )
+
+    baseline = None
     if os.path.exists(baseline_file):
         with open(baseline_file) as f:
             baseline = json.load(f)["seqs_per_sec"]
-    vs_baseline = (seqs_per_sec / baseline) if baseline else None
+    # the stored baseline is the config-1 model; cross-config ratios
+    # would not be apples-to-apples
+    vs_baseline = (
+        res["seqs_per_sec"] / baseline
+        if baseline and args.config == 1 else None
+    )
     print(json.dumps({
         "metric": "breath_sequences_per_sec_train_plus_infer",
-        "value": round(seqs_per_sec, 2),
+        "value": round(res["seqs_per_sec"], 2),
         "unit": "seq/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "config": args.config,
+        "config_name": CONFIG_NAMES[args.config],
+        "linearity_2n_over_n": round(res["linearity"], 3),
+        "implied_tflops": (
+            round(implied_tflops, 2) if implied_tflops is not None else None
+        ),
+        "mfu_vs_bf16_peak": round(mfu, 4) if mfu is not None else None,
+        "baseline_note": (
+            "torch-CPU reference per-sample loop measured on this host "
+            "(1 CPU core)"
+        ),
     }))
 
 
