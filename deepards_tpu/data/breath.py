@@ -5,12 +5,17 @@ This is a from-scratch numpy implementation of the subset of the reference's
 ``ventmap``/``ucdpvanalysis`` dependency actually consumed by the pipeline
 (reference: deepards/dataset.py:494-504 lists the 9 flow-time features;
 truncate_lim at deepards/dataset.py:1183-1204 uses the x0 heuristic).  The
-algorithms follow the published SAM heuristics in intent (largest positive
-area-under-curve portion + first sustained positive→negative crossing) but
-are vectorized and simplified; numerical parity with the legacy code is
-validated statistically, not bitwise.
+algorithms are semantics-exact rebuilds of the vendored SAM code
+(ucdpvanalysis-1.5/algorithms/SAM.py: findx0:463, findx02:526, calcTV3:581,
+find_mean_flow_from_pef:417, find_slope_from_minf_to_zero:428,
+x0_heuristic:690), vectorized — including the legacy quirks that change
+dataset contents: the 4-clause crossing test with the "dribble" clause,
+truncating ``int(t_offset/dt)`` sample offsets (0.16s → 7 samples, not 8),
+and findx02's never-flushed final run.  Pinned by differential oracle
+tests against the vendored implementation (tests/test_breath_oracle.py).
 """
 import numpy as np
+from scipy.integrate import simpson
 
 _trapezoid = getattr(np, "trapezoid", np.trapz)
 
@@ -35,23 +40,28 @@ FLOW_TIME_FEATURE_NAMES = [
 def _first_neg_crossing(flow):
     """First index where flow goes from >=0 to a sustained negative value.
 
-    Follows the intent of the SAM ``findx0`` heuristic: a crossing counts
-    when the next sample is clearly negative (<= -5 l/min) or goes negative
-    and stays/deepens negative shortly after.
+    Exact vectorization of SAM ``findx0`` (SAM.py:463-525): crossing at
+    i+1 when flow[i] >= 0 and any of
+      1. flow[i+1] <= -5 and flow[i+2] < 0
+      2. flow[i+1] < 0 and flow[i+4] <= -5
+      3. flow[i+1] < 0 and flow[i+2] <= -5
+      4. flow[i+1..i+5] all < 0          (low-flow "dribble" exhalation)
+    (the legacy code pads 6 NaNs; NaN comparisons are False, matching).
+    Returns len(flow)-1 when no crossing exists (SAM
+    find_x0s_multi_algorithms:658 falls back to the last sample).
     """
     flow = np.asarray(flow, dtype=np.float64)
     n = len(flow)
-    if n < 3:
+    if n < 2:
         return n - 1 if n else 0
-    f0 = flow[:-2]
-    f1 = flow[1:-1]
-    f2 = flow[2:]
-    # pad a lookahead of 3 further samples for the "dribble" clause
-    f4 = np.concatenate([flow[4:], np.full(min(3, n - 1), np.nan)])[: n - 2]
-    cond = (f0 >= 0) & (
-        ((f1 <= -5) & (f2 < 0))
-        | ((f1 < 0) & (f2 <= -5))
-        | ((f1 < 0) & (f4 <= -5))
+    w = np.concatenate([flow, np.full(6, np.nan)])
+    i = np.arange(n)
+    w1, w2, w3, w4, w5 = w[i + 1], w[i + 2], w[i + 3], w[i + 4], w[i + 5]
+    cond = (w[i] >= 0) & (
+        ((w1 <= -5) & (w2 < 0))
+        | ((w1 < 0) & (w4 <= -5))
+        | ((w1 < 0) & (w2 <= -5))
+        | ((w1 < 0) & (w2 < 0) & (w3 < 0) & (w4 < 0) & (w5 < 0))
     )
     idx = np.nonzero(cond)[0]
     if len(idx):
@@ -59,53 +69,102 @@ def _first_neg_crossing(flow):
     return n - 1
 
 
+def _pos_neg_runs(flow):
+    """Sign runs of flow[:-1] with >0 as positive (0 counts negative),
+    EXCLUDING the final run, which the legacy loop never flushes
+    (SAM findx02:526-578 / calcTV3:581-610 flush only on sign change).
+    Yields (start, end_exclusive, is_pos); end_exclusive == legacy flush
+    index i + 1."""
+    flow = np.asarray(flow, dtype=np.float64)
+    n = len(flow)
+    if n < 2:
+        return []
+    w = flow[: n - 1]
+    pos = w > 0
+    # flush points: i in [0, n-2) where sign(w[i]) != sign(flow[i+1])
+    nxt = flow[1:n] > 0
+    flush = np.nonzero(pos != nxt)[0]
+    runs = []
+    start = 0
+    for i in flush:
+        runs.append((start, int(i) + 1, bool(pos[i])))
+        start = int(i) + 1
+    return runs
+
+
 def _largest_pos_auc_end(flow):
-    """Index one past the positive portion with the largest AUC (SAM x02)."""
+    """Index one past the positive portion with the largest Simpson AUC
+    (exact SAM ``findx02`` semantics: strict > keeps the first maximum;
+    a positive run reaching the end of the wave is never considered).
+    Returns len(flow)-1 when there is no flushed positive run."""
     flow = np.asarray(flow, dtype=np.float64)
     n = len(flow)
     if n < 2:
         return n - 1 if n else 0
-    pos = flow[:-1] > 0
-    if not pos.any():
-        return n - 1
-    # segment boundaries of contiguous positive runs
-    padded = np.concatenate([[False], pos, [False]])
-    starts = np.nonzero(padded[1:] & ~padded[:-1])[0]
-    ends = np.nonzero(~padded[1:] & padded[:-1])[0]  # exclusive
-    aucs = np.array([_trapezoid(flow[s:e], dx=DT) for s, e in zip(starts, ends)])
-    best = int(np.argmax(aucs))
-    return int(ends[best])
+    best_auc = 0.0
+    x0 = None
+    for s, e, is_pos in _pos_neg_runs(flow):
+        if not is_pos:
+            continue
+        auc = float(simpson(flow[s:e], dx=DT)) * 1000.0 / 60.0
+        if auc > best_auc:
+            best_auc = auc
+            x0 = e
+    return int(x0) if x0 is not None else n - 1
 
 
 def find_x0_index(flow):
     """Locate the inspiration→expiration crossover sample of a breath.
 
-    Combines the two SAM detectors with the heuristic "use the later one"
-    rule (important for nubbin breaths).  Returns an index into ``flow``.
-    """
+    Combines the two SAM detectors with the "use the later one" heuristic
+    (SAM x0_heuristic:690-709 — important for nubbin breaths)."""
     x01 = _first_neg_crossing(flow)
     x02 = _largest_pos_auc_end(flow)
     return max(x01, x02)
 
 
+def calc_tv(flow, x0_index, dt=DT, mode="run"):
+    """(tvi, tve) in ml via Simpson AUC over sign runs: positive runs
+    flushed before x0 count toward tvi, negative runs flushed at/after x0
+    toward tve (tve returned NEGATIVE; callers flip sign).
+
+    mode="run" (default) integrates each sign run — the corrected
+    semantics the reference pipeline consumed via ventMAP.  mode=
+    "legacy_prefix" is bit-exact with the vendored ucdpvanalysis
+    ``calcTV3`` (SAM.py:581-610), whose holding array is never reset, so
+    every flush integrates the ENTIRE wave prefix — kept only as the
+    differential-test oracle target (tests/test_breath_oracle.py)."""
+    flow = np.asarray(flow, dtype=np.float64)
+    tvi = 0.0
+    tve = 0.0
+    for s, e, is_pos in _pos_neg_runs(flow):
+        i = e - 1  # legacy flush index
+        lo = 0 if mode == "legacy_prefix" else s
+        auc = float(simpson(flow[lo:e], dx=dt)) * 1000.0 / 60.0
+        if is_pos and i < x0_index:
+            tvi += auc
+        elif (not is_pos) and i >= x0_index:
+            tve += auc
+    return tvi, tve
+
+
 def _slope_minf_to_zero(flow, dt=DT, t_offset=0.0):
     """Slope (l/min/s) from (min flow + offset) back up toward zero flow.
 
-    NaN when undefined (no expiratory data / nonpositive slope), matching
-    the legacy convention.
-    """
+    Exact SAM ``find_slope_from_minf_to_zero`` semantics, including the
+    truncating int(t_offset/dt) offset (0.16s -> 7 samples) and the
+    first-occurrence max of the negative tail.  NaN when undefined."""
     flow = np.asarray(flow, dtype=np.float64)
     if len(flow) == 0:
         return np.nan
-    min_idx = int(np.argmin(flow)) + int(round(t_offset / dt))
+    min_idx = int(np.argmin(flow)) + int(t_offset / dt)
     if min_idx >= len(flow):
         return np.nan
     seg = flow[min_idx:]
-    neg = seg[seg < 0]
-    if len(neg) == 0:
+    neg = seg < 0
+    if not neg.any():
         return np.nan
-    # closest-to-zero negative point after min flow
-    rel_zero_idx = int(np.argmax(np.where(seg < 0, seg, -np.inf)))
+    rel_zero_idx = int(np.argmax(np.where(neg, seg, -np.inf)))
     if rel_zero_idx == 0:
         return np.nan
     slope = (seg[rel_zero_idx] - seg[0]) / (rel_zero_idx * dt)
@@ -113,10 +172,12 @@ def _slope_minf_to_zero(flow, dt=DT, t_offset=0.0):
 
 
 def _mean_flow_from_pef(flow, dt=DT, t_offset=0.16):
+    """Mean flow from (peak expiratory flow + offset) to end of breath
+    (exact SAM ``find_mean_flow_from_pef``, truncating offset)."""
     flow = np.asarray(flow, dtype=np.float64)
     if len(flow) == 0:
         return np.nan
-    idx = int(np.argmin(flow)) + int(round(t_offset / dt))
+    idx = int(np.argmin(flow)) + int(t_offset / dt)
     seg = flow[idx:]
     if len(seg) == 0:
         return np.nan
@@ -140,9 +201,8 @@ def flow_time_features(flow, pressure=None, dt=DT):
     e_time = max((n - x0) * dt, dt)
     ie_ratio = i_time / e_time
     inst_rr = 60.0 / (i_time + e_time)
-    # tidal volumes in ml: flow l/min -> integral * 1000 / 60
-    tvi = _trapezoid(np.clip(flow[:x0], 0, None), dx=dt) * 1000.0 / 60.0
-    tve = -_trapezoid(np.clip(flow[x0:], None, 0), dx=dt) * 1000.0 / 60.0
+    tvi, tve = calc_tv(flow, x0, dt)
+    tve = -tve  # legacy returns the (negative) expiratory AUC
     tve_tvi = tve / tvi if tvi > 0 else np.nan
 
     if pressure is not None and len(pressure):

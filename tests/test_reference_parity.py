@@ -1,0 +1,226 @@
+"""Differential parity tests against the reference's OWN torch code.
+
+These ground the ±0.5% AUC-parity claim: reference model weights are
+transplanted into the flax rebuilds and logits must agree to <=1e-4
+(reference: deepards/models/densenet.py:83-275,
+deepards/models/torch_cnn_linear_network.py:92-113).
+
+The reference modules are loaded from /root/reference at test time
+(read-only import for differential testing — no code is copied).
+
+Note on norm semantics: the reference's python per-sample loop feeds one
+sequence's S windows per breath_block call, so BatchNorm
+(track_running_stats=False) statistics span a single sequence.  The TPU
+build folds (B*S) windows into one super-batch.  With batch=1 the two are
+bitwise-identical semantics, which is what these tests pin down; the
+super-batch normalization is a documented design shift (PARITY.md).
+"""
+import importlib.util
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference/deepards/models"
+
+
+def _load_ref(name, fname):
+    path = os.path.join(REF, fname)
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not available")
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_densenet():
+    return _load_ref("ref_densenet", "densenet.py")
+
+
+@pytest.fixture(scope="module")
+def ref_cnn_linear():
+    return _load_ref("ref_cnn_linear", "torch_cnn_linear_network.py")
+
+
+def _t2f_conv(w):
+    """torch Conv1d weight (out, in, k) -> flax Conv kernel (k, in, out)."""
+    return jnp.asarray(np.transpose(w.detach().numpy(), (2, 1, 0)))
+
+
+def _t2f_norm(mod):
+    return {
+        "scale": jnp.asarray(mod.weight.detach().numpy()),
+        "bias": jnp.asarray(mod.bias.detach().numpy()),
+    }
+
+
+def _conv_tree(w):
+    return {"Conv_0": {"kernel": _t2f_conv(w)}}
+
+
+def transplant_densenet(tnet, block_config):
+    """Map reference DenseNet state into the DenseNet1D flax param tree.
+
+    Flax naming (single compact ``features`` method, call order):
+    Conv1d_0, BatchStatNorm_0, DenseLayer_0.., Transition_0.., BatchStatNorm_1.
+    """
+    f = tnet.features
+    params = {
+        "Conv1d_0": _conv_tree(f.conv0.weight),
+        "BatchStatNorm_0": _t2f_norm(f.norm0),
+        "BatchStatNorm_1": _t2f_norm(f.norm5),
+    }
+    layer_i = 0
+    for bi, n_layers in enumerate(block_config):
+        block = getattr(f, "denseblock{}".format(bi + 1))
+        for li in range(n_layers):
+            dl = getattr(block, "denselayer{}".format(li + 1))
+            params["DenseLayer_{}".format(layer_i)] = {
+                "BatchStatNorm_0": _t2f_norm(dl.norm1),
+                "Conv1d_0": _conv_tree(dl.conv1.weight),
+                "BatchStatNorm_1": _t2f_norm(dl.norm2),
+                "Conv1d_1": _conv_tree(dl.conv2.weight),
+            }
+            layer_i += 1
+        if bi != len(block_config) - 1:
+            tr = getattr(f, "transition{}".format(bi + 1))
+            params["Transition_{}".format(bi)] = {
+                "BatchStatNorm_0": _t2f_norm(tr.norm),
+                "Conv1d_0": _conv_tree(tr.conv.weight),
+            }
+    return params
+
+
+def test_densenet18_forward_parity(ref_densenet):
+    """Reference densenet18 weights -> DenseNet1D: pooled features match."""
+    from deepards_tpu.models.densenet1d import densenet18
+
+    torch.manual_seed(0)
+    tnet = ref_densenet.densenet18()
+    tnet.eval()  # disables dropout; BN still uses batch stats (no buffers)
+
+    model = densenet18()
+    params = transplant_densenet(tnet, (2, 2, 2, 2))
+
+    x = np.random.default_rng(0).normal(size=(20, 1, 224)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tnet(torch.from_numpy(x)).numpy()
+    out = model.apply(
+        {"params": params}, jnp.asarray(x), True,
+        rngs={"dropout": jax.random.PRNGKey(0)},
+    )
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-4, rtol=1e-4)
+
+
+def test_densenet18_forward_no_pool_parity(ref_densenet):
+    """Pre-pool feature maps (GradCAM/ProtoPNet surface) match too."""
+    from deepards_tpu.models.densenet1d import densenet18
+
+    torch.manual_seed(1)
+    tnet = ref_densenet.densenet18()
+    tnet.eval()
+    model = densenet18()
+    params = transplant_densenet(tnet, (2, 2, 2, 2))
+
+    x = np.random.default_rng(1).normal(size=(6, 1, 224)).astype(np.float32)
+    with torch.no_grad():
+        ref_fmap = tnet.forward_no_pool(torch.from_numpy(x)).numpy()
+    fmap = model.apply(
+        {"params": params}, jnp.asarray(x), True,
+        rngs={"dropout": jax.random.PRNGKey(0)},
+        method=lambda m, xx, det: m.forward_no_pool(xx, det),
+    )
+    # ours is (N, L', C); reference is (N, C, L')
+    np.testing.assert_allclose(
+        np.asarray(fmap).transpose(0, 2, 1), ref_fmap, atol=1e-4, rtol=1e-4
+    )
+
+
+def test_cnn_linear_end_to_end_parity(ref_densenet, ref_cnn_linear):
+    """Full cnn_linear logits parity, weights transplanted end to end
+    (reference: torch_cnn_linear_network.py:92-113).  batch=1 sequence so
+    the reference's per-sequence BN statistics match the super-batch."""
+    from deepards_tpu.models.densenet1d import densenet18
+    from deepards_tpu.models.heads import CNNLinearNetwork
+
+    torch.manual_seed(2)
+    S = 20
+    tback = ref_densenet.densenet18()
+    tnet = ref_cnn_linear.CNNLinearNetwork(
+        tback, sequence_size=S, metadata_features=0
+    )
+    tnet.eval()
+
+    model = CNNLinearNetwork(breath_block=densenet18())
+    params = {
+        "breath_block": transplant_densenet(tback, (2, 2, 2, 2)),
+        "Dense_0": {
+            "kernel": jnp.asarray(
+                tnet.linear_final.weight.detach().numpy().T
+            ),
+            "bias": jnp.asarray(tnet.linear_final.bias.detach().numpy()),
+        },
+    }
+
+    x = np.random.default_rng(2).normal(
+        size=(1, S, 1, 224)
+    ).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = tnet(torch.from_numpy(x), None).numpy()
+    logits = model.apply(
+        {"params": params}, jnp.asarray(x), None, True,
+        rngs={"dropout": jax.random.PRNGKey(0)},
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), ref_logits, atol=1e-4, rtol=1e-4
+    )
+
+
+def test_cnn_linear_parity_multi_sequence(ref_densenet, ref_cnn_linear):
+    """Multi-sequence batch: per-sequence BN via a vmapped apply matches
+    the reference loop sequence-for-sequence (the exact-parity execution
+    mode; the default super-batch mode is a documented shift)."""
+    from deepards_tpu.models.densenet1d import densenet18
+    from deepards_tpu.models.heads import CNNLinearNetwork
+
+    torch.manual_seed(3)
+    S, B = 10, 3
+    tback = ref_densenet.densenet18()
+    tnet = ref_cnn_linear.CNNLinearNetwork(
+        tback, sequence_size=S, metadata_features=0
+    )
+    tnet.eval()
+
+    model = CNNLinearNetwork(breath_block=densenet18())
+    params = {
+        "breath_block": transplant_densenet(tback, (2, 2, 2, 2)),
+        "Dense_0": {
+            "kernel": jnp.asarray(
+                tnet.linear_final.weight.detach().numpy().T
+            ),
+            "bias": jnp.asarray(tnet.linear_final.bias.detach().numpy()),
+        },
+    }
+
+    x = np.random.default_rng(3).normal(
+        size=(B, S, 1, 224)
+    ).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = tnet(torch.from_numpy(x), None).numpy()
+
+    def one_seq(seq):
+        return model.apply(
+            {"params": params}, seq[None], None, True,
+            rngs={"dropout": jax.random.PRNGKey(0)},
+        )[0]
+
+    logits = jax.vmap(one_seq)(jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(logits), ref_logits, atol=1e-4, rtol=1e-4
+    )
