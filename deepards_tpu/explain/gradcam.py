@@ -68,10 +68,39 @@ class GradCam:
 
         self._cam_grad = cam_grad
 
+        def _one_seq(x, target):
+            fmap = feature_fn(x)
+
+            def score(fm):
+                out = head_fn(fm)
+                one_hot = jax.nn.one_hot(target, out.shape[-1])
+                return (one_hot * out).sum(), out
+
+            grads, out = jax.grad(score, has_aux=True)(fmap)
+            return fmap, grads, out
+
+        # batched cam pipeline: every sequence's feature map, gradient and
+        # logits in ONE dispatch (the per-sample python loop otherwise
+        # pays a full device round trip per sequence)
+        self._batch_grad = jax.jit(jax.vmap(_one_seq))
+
     def _head_dense_params(self):
-        for key in self.params:
-            if key.startswith("Dense") or key == "linear_final":
-                return self.params[key]
+        dense_keys = sorted(
+            k for k in self.params
+            if k.startswith("Dense") or k == "linear_final"
+        )
+        if len(dense_keys) > 1:
+            # cnn_double_linear-style heads have an intermediate Dense;
+            # the single-Dense-over-pooled-features cam math does not
+            # apply — fail loudly instead of silently using the wrong one
+            raise NotImplementedError(
+                "GradCam supports single-Dense heads (cnn_linear family); "
+                "found {} Dense layers: {}".format(
+                    len(dense_keys), dense_keys
+                )
+            )
+        if dense_keys:
+            return self.params[dense_keys[0]]
         raise ValueError("could not locate head Dense params")
 
     def _grad_and_output(self, x, target):
@@ -90,6 +119,23 @@ class GradCam:
 
 class MaxMinNormCam(GradCam):
     """(reference: gradcam.py:110-162)"""
+
+    def generate_read_cams_batch(self, xs, targets):
+        """Per-read cams for a BATCH of sequences in one device dispatch.
+        xs: (B, S, C, L); targets: (B,) ints.  Returns (B, S, L') uint8
+        cams + (B, 2) outputs."""
+        xs = jnp.asarray(xs, jnp.float32)
+        targets = jnp.asarray(targets)
+        fmaps, grads, outs = self._batch_grad(xs, targets)
+        conv = np.asarray(fmaps).transpose(0, 1, 3, 2)  # (B,S,C,L')
+        grad = np.asarray(grads).transpose(0, 1, 3, 2)
+        weights = grad.mean(axis=3)  # (B,S,C)
+        cams = (weights[..., None] * conv).sum(axis=2)  # (B,S,L')
+        normed = np.stack([
+            np.stack([self.normalize(c) for c in seq_cams])
+            for seq_cams in cams
+        ])
+        return normed, np.asarray(outs)
 
     def generate_read_cam(self, x, target):
         conv, grad, out = self._grad_and_output(x, target)
@@ -154,6 +200,16 @@ class UnNormalizedCam(GradCam):
         weights = grad.mean(axis=2)
         cam = (weights[:, :, None] * conv).sum(axis=1)
         return np.maximum(0, cam), out
+
+    def generate_read_cams_batch(self, xs, targets):
+        """(B, S, C, L) -> (B, S, L') unnormalized cams, one dispatch."""
+        xs = jnp.asarray(xs, jnp.float32)
+        fmaps, grads, outs = self._batch_grad(xs, jnp.asarray(targets))
+        conv = np.asarray(fmaps).transpose(0, 1, 3, 2)
+        grad = np.asarray(grads).transpose(0, 1, 3, 2)
+        weights = grad.mean(axis=3)
+        cams = (weights[..., None] * conv).sum(axis=2)
+        return np.maximum(0, cams), np.asarray(outs)
 
 
 def upsample_cam(cam, target_len=224):

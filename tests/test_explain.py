@@ -170,3 +170,31 @@ def test_cam_analytics(cnn_linear_fitted, synthetic_cohort, tmp_path):
     })
     assert len(bands) == 2
     assert (bands[["0-2Hz", "2-8Hz", "8-25Hz"]].to_numpy() >= 0).all()
+
+
+def test_gradcam_batched_matches_loop(cnn_linear_fitted):
+    """The one-dispatch batched cam API must reproduce the per-sequence
+    loop exactly."""
+    from deepards_tpu.explain.gradcam import MaxMinNormCam, UnNormalizedCam
+
+    model, params = cnn_linear_fitted
+    xs = np.random.default_rng(5).normal(size=(3, 2, 1, 224)).astype(
+        np.float32
+    )
+    for cls in (MaxMinNormCam, UnNormalizedCam):
+        gen = cls(model, params)
+        batch_cams, batch_out = gen.generate_read_cams_batch(
+            xs, np.array([1, 0, 1])
+        )
+        for i, t in enumerate((1, 0, 1)):
+            cam, out = gen.generate_read_cam(xs[i], t)
+            # uint8 cams may differ by 1 count at rounding boundaries
+            np.testing.assert_allclose(
+                np.asarray(batch_cams[i], np.float64),
+                np.asarray(cam, np.float64), atol=1.0,
+                err_msg="{} seq {}".format(cls.__name__, i),
+            )
+            np.testing.assert_allclose(
+                np.asarray(batch_out[i]).ravel(),
+                np.asarray(out).ravel(), atol=1e-4,
+            )
