@@ -42,7 +42,10 @@ def main(argv=None):
 
     model = trainer.build_model()
     tx = make_optimizer()
-    kfolds = conf.get("kfolds") or 5
+    # fold count: explicit config > the pickled dataset's own kfold count
+    # (reference evaluate.py hardcodes 5; reading the cache is strictly
+    # more correct and matches when the dataset was built with kfolds=5)
+    kfolds = conf.get("kfolds") or dataset.total_kfolds or 5
     import os
 
     for fold in range(kfolds):

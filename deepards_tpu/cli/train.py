@@ -63,6 +63,9 @@ def build_parser():
     flag("--save-model-per-epoch")
     parser.add_argument("--load-base-network")
     parser.add_argument("--load-checkpoint")
+    parser.add_argument("--checkpoint-every-n-steps", type=int,
+                        help="save a mid-epoch resume checkpoint every N "
+                             "train steps (requires --save-model)")
     flag("--no-train")
     flag("--resnet-double-conv")
     flag("--bm-to-linear")

@@ -307,8 +307,28 @@ NETWORK_MAP = {
         trainer="protopnet",
         two_dim=True,
     ),
+    # The reference registers three detection variants (retinanet_2d,
+    # retinanet_2x1d, faster_rcnn_2d — train_ards_detector.py:118) that
+    # differ only in torchvision detection machinery (anchor grids vs
+    # region proposals) over the SAME full-width row-band boxes
+    # (dataset.py:1776-1825).  The row-band parameterization subsumes all
+    # three: per-row dense classification recovers the identical box
+    # structure with a static-shape program (see PARITY.md "detection").
+    # The variants differ here only in their backbone family.
     "retinanet_2d": NetworkSpec(
         "retinanet_2d",
+        lambda conf, bb, s, m: detection2d.RowBandDetector(breath_block=bb),
+        two_dim=True,
+        kind="detector",
+    ),
+    "retinanet_2x1d": NetworkSpec(
+        "retinanet_2x1d",
+        lambda conf, bb, s, m: detection2d.RowBandDetector(breath_block=bb),
+        two_dim=True,
+        kind="detector",
+    ),
+    "faster_rcnn_2d": NetworkSpec(
+        "faster_rcnn_2d",
         lambda conf, bb, s, m: detection2d.RowBandDetector(breath_block=bb),
         two_dim=True,
         kind="detector",

@@ -13,7 +13,7 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
-def save(path, state, conf=None):
+def save(path, state, conf=None, resume_meta=None):
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     payload = {
@@ -24,6 +24,14 @@ def save(path, state, conf=None):
     }
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
+    if resume_meta is not None:
+        # mid-epoch resume bookkeeping: fold/epoch/next-batch + the exact
+        # epoch permutation, so resumption replays the remaining batches
+        meta = dict(resume_meta)
+        if "perm" in meta:
+            meta["perm"] = np.asarray(meta["perm"]).tolist()
+        with open(path + ".resume.json", "w") as f:
+            json.dump(meta, f)
     if conf is not None:
         with open(path + ".conf.json", "w") as f:
             json.dump(
@@ -36,6 +44,18 @@ def save(path, state, conf=None):
                 indent=2,
             )
     return path
+
+
+def load_resume_meta(path):
+    """Resume metadata saved next to a step checkpoint (None if absent)."""
+    meta_path = os.path.abspath(path) + ".resume.json"
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if "perm" in meta:
+        meta["perm"] = np.asarray(meta["perm"], np.int64)
+    return meta
 
 
 def restore(path, abstract_state=None):

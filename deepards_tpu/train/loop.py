@@ -26,7 +26,7 @@ from deepards_tpu.models.registry import (
 )
 from deepards_tpu.parallel import mesh as mesh_lib
 from deepards_tpu.train import losses as loss_lib
-from deepards_tpu.train.loader import EpochLoader
+from deepards_tpu.train.loader import EpochLoader, PrefetchLoader
 from deepards_tpu.train.steps import (
     create_train_state,
     make_optimizer,
@@ -282,6 +282,13 @@ class Trainer:
 
     def train_and_test(self):
         conf = self.conf
+        self.resume_meta = None
+        if conf.get("load_checkpoint"):
+            from deepards_tpu.train import checkpoint
+
+            self.resume_meta = checkpoint.load_resume_meta(
+                conf.load_checkpoint
+            )
         train_dataset, test_dataset = self.get_base_datasets()
         tx = make_optimizer(
             optimizer=conf.get("optimizer", "sgd"),
@@ -293,6 +300,8 @@ class Trainer:
         for fold_num in range(self.n_kfolds):
             if conf.get("only_fold") is not None and fold_num != conf.only_fold:
                 continue
+            if self.resume_meta and fold_num < self.resume_meta["fold"]:
+                continue  # fold already completed before the checkpoint
             if conf.get("kfolds") or conf.get("bootstrap"):
                 if self.verbose:
                     print("--- Run Fold {} ---".format(fold_num + 1))
@@ -348,16 +357,23 @@ class Trainer:
         self.rng, init_rng = jax.random.split(self.rng)
         sample = train_dataset.gather(train_dataset.current_indices()[:2])
         if conf.get("load_checkpoint"):
-            # resume/inference from a saved checkpoint
-            # (reference: train_ards_detector.py:467-469)
+            # resume/inference from a saved checkpoint — FULL state
+            # (params + optimizer + rng + step), true resume
+            # (reference: train_ards_detector.py:467-469 reloads only the
+            # module; SURVEY §5.4 calls out resume as an improvement)
             from deepards_tpu.train import checkpoint
 
             state = create_train_state(
                 model, tx, sample, init_rng,
                 has_metadata=self.spec.uses_metadata,
             )
-            restored = checkpoint.restore(conf.load_checkpoint)
-            state = state.replace(params=restored["params"])
+            restored = checkpoint.restore(conf.load_checkpoint, state)
+            state = state.replace(
+                params=restored["params"],
+                opt_state=restored["opt_state"],
+                rng=restored["rng"],
+                step=restored["step"],
+            )
         else:
             state = create_train_state(
                 model, tx, sample, init_rng,
@@ -398,11 +414,21 @@ class Trainer:
                 fold_num,
             )
         epochs = conf.get("epochs", 10)
-        for epoch_num in range(1, epochs + 1):
+        start_epoch = 1
+        resume = getattr(self, "resume_meta", None)
+        if resume and resume["fold"] == fold_num:
+            start_epoch = resume["epoch"]
+        for epoch_num in range(start_epoch, epochs + 1):
+            epoch_resume = (
+                resume
+                if resume and resume["fold"] == fold_num
+                and resume["epoch"] == epoch_num
+                else None
+            )
             if not conf.get("no_train"):
                 state = self.run_train_epoch(
                     state, train_step, train_dataset, fold_num, epoch_num,
-                    train_scan=train_scan,
+                    train_scan=train_scan, resume=epoch_resume,
                 )
             if conf.get("reshuffle_oversample_per_epoch"):
                 train_dataset.set_oversampling_indices()
@@ -414,6 +440,8 @@ class Trainer:
                 self.save_checkpoint(state, fold_num, epoch_num)
         if conf.get("save_model"):
             self.save_checkpoint(state, fold_num, None)
+        if resume and resume["fold"] == fold_num:
+            self.resume_meta = None  # later folds run from scratch
         self.final_state = state
         return state
 
@@ -549,20 +577,36 @@ class Trainer:
         return batch, mask
 
     def run_train_epoch(self, state, train_step, dataset, fold_num,
-                        epoch_num, train_scan=None):
+                        epoch_num, train_scan=None, resume=None):
         conf = self.conf
         batch_size = conf.get("batch_size", 16)
         fused = conf.get("fused_steps") or 1
+        ckpt_every = conf.get("checkpoint_every_n_steps") or 0
+        start_batch = 0
+        perm = None
+        if resume is not None:
+            perm = resume["perm"]
+            start_batch = resume["next_batch"]
+        elif ckpt_every:
+            # pin the epoch permutation so a step checkpoint can replay it
+            idx = np.asarray(dataset.current_indices())
+            perm = (
+                self.host_rng.permutation(idx)
+                if not conf.get("unshuffled") else idx
+            )
         if fused > 1 and train_scan is not None:
             return self._run_train_epoch_fused(
                 state, train_step, train_scan, dataset, fold_num,
-                epoch_num, fused,
+                epoch_num, fused, ckpt_every=ckpt_every, perm=perm,
+                start_batch=start_batch,
             )
         loader = EpochLoader(
             dataset,
             batch_size,
             shuffle=not conf.get("unshuffled"),
             rng=self.host_rng,
+            indices=perm,
+            start_batch=start_batch,
         )
         if self.verbose:
             print("train instances: {}".format(len(loader)))
@@ -571,15 +615,17 @@ class Trainer:
         transforms = getattr(dataset, "transforms", None)
         if not callable(transforms):
             transforms = None
-        for i, batch in enumerate(loader):
+
+        def prepare(batch):
             if transforms is not None:
                 from deepards_tpu.data.augment import apply_to_batch
 
                 batch["data"] = apply_to_batch(
                     transforms, batch["data"], self.host_rng
                 )
-            batch, mask = self._prepare_batch(batch, batch_size)
-            state, loss = train_step(state, batch, mask)
+            return self._prepare_batch(batch, batch_size)
+
+        def record(loss):
             loss = float(loss)
             self.results.update_meter(
                 "loss_epoch_{}".format(epoch_num), fold_num, loss
@@ -595,16 +641,48 @@ class Trainer:
                         loss
                     )
                 )
+                return True
+            return False
+
+        # gather/augment/device_put of batch N+1 overlaps step N on device
+        # (the DataLoader(num_workers) equivalent); the loss of step N is
+        # fetched AFTER step N+1 is dispatched (lag-1), so the device never
+        # waits on a host round trip — the stop-on-loss breaker therefore
+        # fires one step late, which the reference's semantics tolerate
+        # (it is a runaway-loss failure detector, not a precise stop)
+        prev_loss = None
+        for i, (batch, mask) in enumerate(
+            PrefetchLoader(loader, map_fn=prepare)
+        ):
+            state, loss = train_step(state, batch, mask)
+            if prev_loss is not None and record(prev_loss):
+                prev_loss = None
                 break
+            prev_loss = loss
+            if ckpt_every and (start_batch + i + 1) % ckpt_every == 0:
+                self.save_checkpoint(
+                    state, fold_num, epoch_num,
+                    step=start_batch + i + 1,
+                    resume_meta={
+                        "fold": fold_num,
+                        "epoch": epoch_num,
+                        "next_batch": start_batch + i + 1,
+                        "perm": perm,
+                    },
+                )
             if conf.get("debug"):
                 break
+        if prev_loss is not None:
+            record(prev_loss)
         return state
 
     def _run_train_epoch_fused(self, state, train_step, train_scan,
-                               dataset, fold_num, epoch_num, fused):
+                               dataset, fold_num, epoch_num, fused,
+                               ckpt_every=0, perm=None, start_batch=0):
         """Run the epoch in chunks of ``fused`` steps per device dispatch
         (lax.scan over stacked batches).  Remainder batches run single-step.
-        Enable with fused_steps: N in the config."""
+        Enable with fused_steps: N in the config.  Step checkpoints land
+        at flush (fused-chunk) boundaries."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         conf = self.conf
@@ -614,6 +692,7 @@ class Trainer:
         loader = EpochLoader(
             dataset, batch_size,
             shuffle=not conf.get("unshuffled"), rng=self.host_rng,
+            indices=perm, start_batch=start_batch,
         )
         if self.verbose:
             print("train instances: {} (fused x{})".format(
@@ -642,7 +721,10 @@ class Trainer:
             pending_losses.append(losses)
             return state
 
-        for batch in loader:
+        # gather of the next chunk overlaps the in-flight fused scan
+        batches_done = start_batch
+        last_ckpt = start_batch
+        for batch in PrefetchLoader(loader):
             batch.pop("index", None)
             batch, mask = _pad_batch(batch, target)
             pend_b.append(batch)
@@ -650,6 +732,16 @@ class Trainer:
             if len(pend_b) == fused:
                 state = flush(state, pend_b, pend_m)
                 pend_b, pend_m = [], []
+                batches_done += fused
+                if ckpt_every and batches_done - last_ckpt >= ckpt_every:
+                    self.save_checkpoint(
+                        state, fold_num, epoch_num, step=batches_done,
+                        resume_meta={
+                            "fold": fold_num, "epoch": epoch_num,
+                            "next_batch": batches_done, "perm": perm,
+                        },
+                    )
+                    last_ckpt = batches_done
             if conf.get("debug"):
                 break
         # remainder: single steps
@@ -746,7 +838,8 @@ class Trainer:
 
     # -- checkpointing --------------------------------------------------------
 
-    def save_checkpoint(self, state, fold_num, epoch_num):
+    def save_checkpoint(self, state, fold_num, epoch_num, step=None,
+                        resume_meta=None):
         from deepards_tpu.train import checkpoint
 
         base = self.conf.get("save_model") or "model"
@@ -755,5 +848,10 @@ class Trainer:
             name += "-epoch{}".format(epoch_num)
         if self.n_kfolds > 1:
             name += "-fold{}".format(fold_num)
+        if step is not None:
+            name += "-step{}".format(step)
         out_dir = self.conf.get("saved_models_dir") or "saved_models"
-        checkpoint.save(os.path.join(out_dir, name), state, self.conf)
+        return checkpoint.save(
+            os.path.join(out_dir, name), state, self.conf,
+            resume_meta=resume_meta,
+        )

@@ -322,7 +322,7 @@ class ProtoPNetTrainer(Trainer):
         ident = model.class_identity()  # (P, n_cls)
 
         @jax.jit
-        def batch_min(params, data, target):
+        def batch_min(params, data, target, row_valid):
             feats, dists = model.apply(
                 {"params": params}, pipeline(data), None, True,
                 method=model.push_forward,
@@ -340,6 +340,11 @@ class ProtoPNetTrainer(Trainer):
             allowed = (
                 label[:, None] == cls_of_proto[None, :]
             )  # (B, P)
+            # padded rows (zero data + zero one-hot -> class 0) must never
+            # win the per-batch argmin: mask them to inf BEFORE reducing,
+            # so a real runner-up patch in the same batch still competes
+            # (reference ppnet_push exact-min semantics)
+            allowed = allowed & row_valid[:, None]
             flat_d = jnp.where(
                 allowed[:, None, :], flat_d, jnp.inf
             )
@@ -361,17 +366,16 @@ class ProtoPNetTrainer(Trainer):
             idx = batch.pop("index")
             n_real = batch["data"].shape[0]
             batch, _ = _pad_batch(batch, batch_size)
-            # padded rows get inf distances via class mask? padded targets
-            # are zeros -> class 0 windows could win; mask by slicing first
+            row_valid = jnp.arange(batch_size) < n_real
             dmin, patches, rows, pos = batch_min(
                 state.params,
                 jnp.asarray(batch["data"]),
                 jnp.asarray(batch["target"]),
+                row_valid,
             )
             dmin = np.asarray(dmin)
             rows_np = np.asarray(rows)
-            valid = rows_np < n_real
-            better = (dmin < global_best) & valid
+            better = dmin < global_best
             global_best = np.where(better, dmin, global_best)
             patches_np = np.asarray(patches)
             for j in np.nonzero(better)[0]:

@@ -162,7 +162,12 @@ def make_train_step(
     def eval_step(state, batch, mask):
         # NOTE: dropout stays active and norm uses batch stats at eval —
         # deliberate parity with the reference, which never calls
-        # model.eval() (reference: train_ards_detector.py:427-448)
+        # model.eval() (reference: train_ards_detector.py:427-448).
+        # eval advances state.rng like train does: a DELIBERATE choice —
+        # active eval dropout must draw fresh masks, so interleaved
+        # train/eval sequences are seeded-reproducible for a fixed fold
+        # order but differ from train-only sequences (same property the
+        # reference's global torch RNG stream has).
         rng, dropout_rng = jax.random.split(state.rng)
         loss, out = loss_wrap(
             state.params, batch, mask, dropout_rng,

@@ -223,3 +223,121 @@ def test_nested_trainer_e2e(synthetic_cohort, tmp_path):
     results = trainer.train_and_test()
     assert len(results.get_meter("loss", 0)) > 0
     assert len(results.get_meter("test_auc", 0)) == 1
+
+
+def test_protopnet2d_push_unflatten():
+    """push flat_pos must unflatten row-major to the (H', W') cell whose
+    distance is the true grid min (reference: protopnet2d/push.py
+    flat-index bookkeeping)."""
+    from deepards_tpu.models.densenet2d import densenet18_2d
+    from deepards_tpu.models.protopnet2d import construct_ppnet_2d
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(3, 1, 64, 64)), jnp.float32)
+    model = construct_ppnet_2d(densenet18_2d(), n_prototypes=2)
+    variables = model.init(RNGS, x, None, True)
+
+    feats, dists = model.apply(
+        variables, x, None, True, method=model.push_forward,
+        rngs={"dropout": jax.random.PRNGKey(0)},
+    )
+    feats = np.asarray(feats)  # (N, H', W', C)
+    dists = np.asarray(dists)  # (N, H'*W', P)
+    n, hp, wp, c = feats.shape
+    assert dists.shape[1] == hp * wp
+
+    for p in range(dists.shape[-1]):
+        # global (row, flat_pos) argmin as the push loop computes it
+        row, flat_pos = np.unravel_index(
+            dists[:, :, p].argmin(), dists[:, :, p].shape
+        )
+        h, w = divmod(int(flat_pos), wp)
+        # the flat distance must equal the grid distance recomputed from
+        # the unflattened (h, w) patch
+        patch = feats[row, h, w]  # (C,)
+        proto = np.asarray(
+            variables["params"]["prototype_vectors"]
+        )[p]
+        d_manual = max(((patch - proto) ** 2).sum(), 0.0)
+        np.testing.assert_allclose(
+            dists[row, flat_pos, p], d_manual, rtol=1e-4, atol=1e-4
+        )
+        # and the flattened feats used by the push gather must agree
+        fb = feats.reshape(n, hp * wp, c)
+        np.testing.assert_array_equal(fb[row, flat_pos], patch)
+
+
+@pytest.mark.slow
+def test_protopnet2d_e2e(synthetic_cohort, tmp_path):
+    """End-to-end ProtoPNet-2D: warm + joint + push on the synthetic
+    cohort's image dataset (reference: protopnet2d/model.py + push.py)."""
+    from deepards_tpu.config import Configuration
+    from deepards_tpu.train.loop import make_trainer
+
+    conf = Configuration(overrides=dict(
+        data_path=synthetic_cohort["data_path"],
+        cohort_file=synthetic_cohort["cohort_file"],
+        experiment_num=1,
+        network="protopnet_2d",
+        base_network="densenet18_2d",
+        dataset_type="unpadded_centered_sequences",
+        n_sub_batches=4,
+        kfolds=2,
+        only_fold=0,
+        epochs=3,
+        batch_size=4,
+        n_warm_epochs=1,
+        push_start_epoch=2,
+        push_every_n=2,
+        n_push_iters=1,
+        n_prototypes=2,
+        compute_dtype="float32",
+        results_dir=str(tmp_path),
+    ))
+    trainer = make_trainer(conf, verbose=False)
+    results = trainer.train_and_test()
+    assert len(results.get_meter("cls_loss", 0)) > 0
+    assert hasattr(trainer, "last_push_info")
+    assert any(info is not None for info in trainer.last_push_info)
+
+
+def test_extract_bands_recovers_spliced_boxes(raw_ds):
+    """extract_bands must reproduce the bbox dataset's spliced band rows:
+    rasterize the dataset's true boxes to row logits, then recover boxes
+    that exactly match the splice chunks (reference: dataset.py:1776-1825
+    box structure [0, y1, 224, y2] + labels)."""
+    from deepards_tpu.models.detection2d import (
+        extract_bands,
+        row_labels_from_boxes,
+    )
+
+    ds = ImgARDSDataset(raw_ds, bbox=True)
+    boxes = ds.bbox_targets["boxes"][:4]
+    labels = ds.bbox_targets["labels"][:4]
+    targets = row_labels_from_boxes(boxes, labels)  # (N, 224, 2)
+    # confident logits: +8 for the true class, -8 for the other
+    logits = 16.0 * targets - 8.0
+    recovered = extract_bands(logits, threshold=0.5)
+    for i in range(len(boxes)):
+        # merge the dataset's zero-height edge chunks (row_start can be
+        # such that chunk 1 or 3 is empty)
+        true = [
+            (int(y1), int(y2), int(lab))
+            for (x1, y1, x2, y2), lab in zip(boxes[i], labels[i])
+            if int(y2) > int(y1)
+        ]
+        got = [
+            (int(b[1]), int(b[3]), lab) for b, lab, score in recovered[i]
+        ]
+        assert got == true, "image {}: {} != {}".format(i, got, true)
+
+
+def test_detector_variant_registrations():
+    """All three reference detection variants resolve to detector specs
+    (reference: train_ards_detector.py:118)."""
+    from deepards_tpu.models.registry import get_network_spec
+
+    for name in ("retinanet_2d", "retinanet_2x1d", "faster_rcnn_2d"):
+        spec = get_network_spec(name)
+        assert spec.kind == "detector"
+        assert spec.two_dim

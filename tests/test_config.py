@@ -82,3 +82,27 @@ def test_reference_experiment_yml_compatible(tmp_path):
     assert conf.clip_grad is True
     assert conf.oversample_minority is True
     assert conf.kfolds == 5
+
+
+def test_generated_experiment_registry():
+    """Every generated experiment yml loads through Configuration and
+    names a registered network/dataset type."""
+    import os
+
+    from deepards_tpu.config import Configuration
+    from deepards_tpu.config.generate_experiments import OUT_DIR, write_all
+    from deepards_tpu.data.windowing import ALL_DATASET_TYPES
+    from deepards_tpu.models.registry import NETWORK_MAP
+
+    names = write_all()
+    assert len(names) >= 100
+    for name in names:
+        path = os.path.join(OUT_DIR, name + ".yml")
+        assert os.path.exists(path)
+
+        class Args:
+            config_override = path
+
+        conf = Configuration(parser_args=Args())
+        assert conf.network in NETWORK_MAP, name
+        assert conf.dataset_type in ALL_DATASET_TYPES, name

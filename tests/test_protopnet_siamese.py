@@ -146,3 +146,86 @@ def test_protopnet_2d_e2e(synthetic_cohort, tmp_path):
     assert len(results.get_meter("cls_loss", 0)) > 0
     assert hasattr(trainer, "last_push_info")
     assert any(i is not None for i in trainer.last_push_info)
+
+
+def test_push_padded_batch_exact_min(synthetic_cohort):
+    """Regression: a padded row must not hijack the per-batch argmin and
+    discard a real runner-up patch (exact-min parity with ppnet_push).
+    Dataset of 3 windows with batch_size=2 -> second batch is half pad;
+    every prototype's pushed distance must equal the min over all real
+    same-class windows computed with the SAME batching (BatchStatNorm
+    makes features batch-dependent, so the oracle replays the loader's
+    batches, padding included)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepards_tpu.models.densenet1d import densenet18
+    from deepards_tpu.models.protopnet1d import construct_ppnet
+    from deepards_tpu.train.protopnet_trainer import ProtoPNetTrainer
+
+    rng = np.random.default_rng(3)
+    data = rng.normal(size=(3, 2, 1, 224)).astype(np.float32)
+    target = np.eye(2, dtype=np.float32)[[0, 1, 0]]
+
+    class FakeDataset:
+        def current_indices(self):
+            return np.arange(3)
+
+        def gather(self, idxs):
+            return {
+                "data": data[idxs],
+                "target": target[idxs],
+                "index": np.asarray(idxs),
+            }
+
+    model = construct_ppnet(densenet18(), sub_batch_size=2, n_prototypes=1)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(data[:2]), None, True,
+    )
+
+    class State:
+        params = variables["params"]
+
+        def replace(self, **kw):
+            for k, v in kw.items():
+                setattr(self, k, v)
+            return self
+
+    trainer = ProtoPNetTrainer.__new__(ProtoPNetTrainer)
+    trainer.push_prototypes(
+        State(), model, FakeDataset(), lambda x: x, batch_size=2
+    )
+
+    # oracle: same batches (incl. the zero-pad row), numpy min over real
+    # same-class rows only
+    def batch_dists(batch_data):
+        _, dists = model.apply(
+            {"params": variables["params"]}, jnp.asarray(batch_data),
+            None, True, method=model.push_forward,
+            rngs={"dropout": jax.random.PRNGKey(0)},
+        )
+        d = np.asarray(dists)
+        return d.reshape(d.shape[0], -1, d.shape[-1])  # (B, pos, P)
+
+    b1 = batch_dists(data[[0, 1]])
+    pad = np.zeros_like(data[2:3])
+    b2 = batch_dists(np.concatenate([data[2:3], pad], axis=0))
+
+    ident = model.class_identity()
+    cls_of_proto = ident.argmax(axis=1)
+    labels = target.argmax(axis=1)
+    for j in range(model.num_prototypes):
+        cands = []
+        for row in (0, 1):
+            if labels[row] == cls_of_proto[j]:
+                cands.append(b1[row, :, j].min())
+        if labels[2] == cls_of_proto[j]:
+            cands.append(b2[0, :, j].min())  # row 2, real row of batch 2
+        true_min = min(cands)
+        info = trainer.last_push_info[j]
+        assert info is not None
+        np.testing.assert_allclose(info["distance"], true_min, rtol=1e-4)
+        assert info["window_index"] in np.nonzero(
+            labels == cls_of_proto[j]
+        )[0]

@@ -144,3 +144,152 @@ def test_find_all_experiments(synthetic_cohort, tmp_path):
     trainer.train_and_test()
     rows = find_experiments(str(tmp_path))
     assert any(r["experiment"] == "myexp" for r in rows)
+
+
+def test_mid_epoch_resume_exact(synthetic_cohort, tmp_path):
+    """Step-level resume: a run resumed from a mid-epoch checkpoint must
+    replay the exact remaining batches and reproduce the full run's
+    remaining losses (SURVEY §5.4 checkpoint/resume)."""
+    import numpy as np
+
+    from deepards_tpu.config import Configuration
+    from deepards_tpu.train.loop import make_trainer
+
+    def conf_for(d, extra):
+        return Configuration(overrides=dict(
+            data_path=synthetic_cohort["data_path"],
+            cohort_file=synthetic_cohort["cohort_file"],
+            experiment_num=1,
+            network="cnn_linear",
+            base_network="densenet18",
+            dataset_type="unpadded_centered_sequences",
+            n_sub_batches=2,
+            kfolds=2,
+            only_fold=0,
+            epochs=1,
+            batch_size=8,
+            compute_dtype="float32",
+            results_dir=str(d / "results"),
+            saved_models_dir=str(d / "models"),
+            seed=7,
+            fused_steps=1,
+            **extra,
+        ))
+
+    # full run with step checkpoints every 2 batches
+    full = make_trainer(
+        conf_for(tmp_path, dict(
+            save_model="ckpt", checkpoint_every_n_steps=2,
+        )),
+        verbose=False,
+    )
+    full.train_and_test()
+    full_losses = list(full.results.get_meter("loss_epoch_1", 0).values)
+    ckpt = str(tmp_path / "models" / "ckpt-epoch1-fold0-step2")
+    import os
+
+    assert os.path.exists(ckpt), os.listdir(str(tmp_path / "models"))
+
+    # resume from the step-2 checkpoint
+    resumed = make_trainer(
+        conf_for(tmp_path, dict(load_checkpoint=ckpt)),
+        verbose=False,
+    )
+    resumed.train_and_test()
+    resumed_losses = list(
+        resumed.results.get_meter("loss_epoch_1", 0).values
+    )
+    np.testing.assert_allclose(
+        resumed_losses, full_losses[2:], rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_mid_epoch_resume_fused_path(synthetic_cohort, tmp_path):
+    """The fused (lax.scan) epoch path checkpoints at flush boundaries
+    and resumes from them."""
+    import os
+
+    import numpy as np
+
+    from deepards_tpu.config import Configuration
+    from deepards_tpu.train.loop import make_trainer
+
+    def conf_for(d, extra):
+        return Configuration(overrides=dict(
+            data_path=synthetic_cohort["data_path"],
+            cohort_file=synthetic_cohort["cohort_file"],
+            experiment_num=1,
+            network="cnn_linear",
+            base_network="densenet18",
+            dataset_type="unpadded_centered_sequences",
+            n_sub_batches=2,
+            kfolds=2,
+            only_fold=0,
+            epochs=1,
+            batch_size=8,
+            compute_dtype="float32",
+            results_dir=str(d / "results"),
+            saved_models_dir=str(d / "models"),
+            seed=7,
+            fused_steps=4,
+            **extra,
+        ))
+
+    full = make_trainer(
+        conf_for(tmp_path, dict(
+            save_model="ckpt", checkpoint_every_n_steps=4,
+        )),
+        verbose=False,
+    )
+    full.train_and_test()
+    full_losses = list(full.results.get_meter("loss_epoch_1", 0).values)
+    ckpt = str(tmp_path / "models" / "ckpt-epoch1-fold0-step4")
+    assert os.path.exists(ckpt), os.listdir(str(tmp_path / "models"))
+
+    resumed = make_trainer(
+        conf_for(tmp_path, dict(load_checkpoint=ckpt)),
+        verbose=False,
+    )
+    resumed.train_and_test()
+    resumed_losses = list(
+        resumed.results.get_meter("loss_epoch_1", 0).values
+    )
+    np.testing.assert_allclose(
+        resumed_losses, full_losses[4:], rtol=1e-5, atol=1e-6,
+    )
+
+def test_initialize_distributed_single_process():
+    """initialize_distributed is a safe no-op on a single host (the
+    multi-host entry; SURVEY §2.11).  On a pod slice it would wire
+    jax.distributed before the mesh is built; here it must swallow the
+    single-process error and leave the runtime usable."""
+    import jax
+    import numpy as np
+
+    from deepards_tpu.parallel import mesh as mesh_lib
+
+    mesh_lib.initialize_distributed()  # no coordinator: no-op
+    # runtime still functional: a mesh over local devices works
+    mesh = mesh_lib.make_mesh()
+    batch = {"data": np.ones((4, 2), np.float32)}
+    sharded, mask = mesh_lib.shard_batch(mesh, batch)
+    assert float(np.asarray(mask).sum()) >= 4.0
+
+
+def test_prefetch_loader_preserves_order_and_errors():
+    import numpy as np
+    import pytest
+
+    from deepards_tpu.train.loader import PrefetchLoader
+
+    items = [{"i": i} for i in range(7)]
+    out = list(PrefetchLoader(items, map_fn=lambda b: b["i"] * 2))
+    assert out == [i * 2 for i in range(7)]
+
+    def bad_map(b):
+        if b["i"] == 3:
+            raise ValueError("boom")
+        return b["i"]
+
+    with pytest.raises(ValueError, match="boom"):
+        list(PrefetchLoader(items, map_fn=bad_map))
