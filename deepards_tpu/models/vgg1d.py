@@ -67,7 +67,9 @@ class VGG1D(nn.Module):
     def __call__(self, x, deterministic=False):
         h = self.features(x, deterministic)
         h = adaptive_avg_pool1d(h, 7)
-        return h.reshape(h.shape[0], -1)
+        # flatten channel-major (N, C, 7) like the reference's
+        # x.view(N, -1) over torch layout, so head weights transplant 1:1
+        return jnp.transpose(h, (0, 2, 1)).reshape(h.shape[0], -1)
 
     def forward_no_pool(self, x, deterministic=False):
         return self.features(x, deterministic)

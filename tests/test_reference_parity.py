@@ -224,3 +224,88 @@ def test_cnn_linear_parity_multi_sequence(ref_densenet, ref_cnn_linear):
     np.testing.assert_allclose(
         np.asarray(logits), ref_logits, atol=1e-4, rtol=1e-4
     )
+
+
+def transplant_resnet18(tnet):
+    """Map reference ResNet(BasicBlock, [2,2,2,2]) state into the
+    ResNet1D flax tree (reference: models/resnet.py:81-163).
+
+    Flax call order in features(): Conv1d_0, BatchStatNorm_0, then
+    BasicBlock_0..7 (per block: Conv1d_0/BatchStatNorm_0/Conv1d_1/
+    BatchStatNorm_1 + Conv1d_2/BatchStatNorm_2 when downsampling)."""
+    params = {
+        "Conv1d_0": _conv_tree(tnet.conv1.weight),
+        "BatchStatNorm_0": _t2f_norm(tnet.bn1),
+    }
+    bi = 0
+    for layer_idx in range(1, 5):
+        layer = getattr(tnet, "layer{}".format(layer_idx))
+        for block in layer:
+            tree = {
+                "Conv1d_0": _conv_tree(block.conv1.weight),
+                "BatchStatNorm_0": _t2f_norm(block.bn1),
+                "Conv1d_1": _conv_tree(block.conv2.weight),
+                "BatchStatNorm_1": _t2f_norm(block.bn2),
+            }
+            if block.downsample is not None:
+                tree["Conv1d_2"] = _conv_tree(block.downsample[0].weight)
+                tree["BatchStatNorm_2"] = _t2f_norm(block.downsample[1])
+            params["BasicBlock_{}".format(bi)] = tree
+            bi += 1
+    return params
+
+
+def test_resnet18_forward_parity():
+    """Reference resnet18 weights -> ResNet1D: pooled features match.
+    The reference resnet's BatchNorm keeps running stats but train()-mode
+    normalization uses batch statistics — exactly BatchStatNorm."""
+    ref_resnet = _load_ref("ref_resnet", "resnet.py")
+    from deepards_tpu.models.resnet1d import resnet18
+
+    torch.manual_seed(4)
+    tnet = ref_resnet.resnet18()
+    tnet.train()  # batch-stat normalization; resnet has no dropout
+
+    model = resnet18()
+    params = transplant_resnet18(tnet)
+    x = np.random.default_rng(4).normal(size=(10, 1, 224)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        ref_out = tnet(torch.from_numpy(x)).numpy()
+    out = model.apply({"params": params}, jnp.asarray(x), True)
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-4,
+                               rtol=1e-4)
+
+
+def test_vgg11_bn_forward_parity():
+    """Reference vgg11_bn weights -> VGG1D: flattened features match
+    (reference: models/vgg.py:10-145)."""
+    ref_vgg = _load_ref("ref_vgg", "vgg.py")
+    from deepards_tpu.models.vgg1d import vgg11_bn
+
+    torch.manual_seed(5)
+    tnet = ref_vgg.vgg11_bn()
+    tnet.train()  # batch-stat normalization; vgg has no dropout layers
+
+    model = vgg11_bn()
+    params = {}
+    conv_i = norm_i = 0
+    for mod in tnet.features:
+        name = type(mod).__name__
+        if name == "Conv1d":
+            params["Conv1d_{}".format(conv_i)] = {"Conv_0": {
+                "kernel": _t2f_conv(mod.weight),
+                "bias": jnp.asarray(mod.bias.detach().numpy()),
+            }}
+            conv_i += 1
+        elif name == "BatchNorm1d":
+            params["BatchStatNorm_{}".format(norm_i)] = _t2f_norm(mod)
+            norm_i += 1
+
+    x = np.random.default_rng(5).normal(size=(6, 1, 224)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tnet(torch.from_numpy(x)).numpy()
+    out = model.apply({"params": params}, jnp.asarray(x), True)
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-4,
+                               rtol=1e-4)
