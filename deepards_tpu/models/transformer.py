@@ -16,7 +16,9 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
 
     @nn.compact
-    def __call__(self, q, k, v):
+    def __call__(self, q, k, v, mask=None):
+        """``mask``: optional (B, S) True-for-valid key mask — padded
+        positions are excluded from attention."""
         head_size = self.hidden_size // self.num_heads
         b, s, _ = q.shape
 
@@ -32,7 +34,12 @@ class MultiHeadAttention(nn.Module):
         weights = jnp.einsum(
             "bhqd,bhkd->bhqk", qp, kp, preferred_element_type=jnp.float32
         )
-        weights = nn.softmax(weights / jnp.sqrt(float(head_size)), axis=-1)
+        weights = weights / jnp.sqrt(float(head_size))
+        if mask is not None:
+            weights = jnp.where(
+                mask[:, None, None, :], weights, jnp.finfo(weights.dtype).min
+            )
+        weights = nn.softmax(weights, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(vp.dtype), vp)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, self.hidden_size)
         return nn.Dense(self.input_size, name="joint_linear")(out)
@@ -45,10 +52,10 @@ class Block(nn.Module):
     dropout: float = 0.2
 
     @nn.compact
-    def __call__(self, x, deterministic=False):
+    def __call__(self, x, deterministic=False, mask=None):
         att = MultiHeadAttention(
             self.input_size, self.hidden_size, self.num_heads
-        )(x, x, x)
+        )(x, x, x, mask=mask)
         att = nn.Dropout(self.dropout, deterministic=deterministic)(att)
         attended = nn.LayerNorm()(att + x)
         h = nn.Dense(self.hidden_size)(attended)
@@ -68,11 +75,11 @@ class Transformer(nn.Module):
     dropout: float = 0.2
 
     @nn.compact
-    def __call__(self, x, deterministic=False):
+    def __call__(self, x, deterministic=False, mask=None):
         for _ in range(self.num_blocks):
             h = Block(
                 self.input_size, self.hidden_size, self.num_heads,
                 self.dropout,
-            )(x, deterministic)
+            )(x, deterministic, mask=mask)
             x = h
         return x

@@ -6,11 +6,14 @@ sample is ALL windows of one patient.)
 
 TPU-first shift: patients have ragged window counts, which would force a
 recompile per patient.  Windows-per-patient are bucketed to a small set
-of power-of-two lengths; shorter patients pad by cyclically repeating
-their own windows (median pooling over windows is invariant to whole
-cycles, and the temporal nets see a repeated — not foreign — history).
-Loss semantics follow loss_calc: 'all_breaths' (target repeated over
-windows) or 'last_breath'.
+of power-of-two lengths; shorter patients ZERO-pad and carry a window
+mask.  This is EXACT (not an approximation): the backbone normalizes per
+window (models/nested.py lifts it with nn.vmap, matching the reference's
+per-window loop), the RNN/LSTM over windows is causal so trailing pad
+windows cannot affect real outputs, the transformer masks attention, and
+the loss is weighted to real windows only.  Loss semantics follow
+loss_calc: 'all_breaths' (target repeated over real windows) or
+'last_breath' (the LAST REAL window's logits).
 """
 import functools
 
@@ -42,13 +45,17 @@ class NestedTrainer(Trainer):
         return groups
 
     def _gather_super_batch(self, dataset, idxs):
+        """Returns ((1, W_bucket, S, C, L) zero-padded data,
+        (1, W_bucket) validity mask)."""
         data = dataset.cache.data[np.asarray(idxs, np.int64)]
         w = data.shape[0]
         bucket = _bucket(w)
+        mask = np.zeros(bucket, np.float32)
+        mask[:w] = 1.0
         if bucket > w:
-            reps = -(-bucket // w)
-            data = np.tile(data, (reps, 1, 1, 1))[:bucket]
-        return data[None]  # (1, W_bucket, S, C, L)
+            pad = np.zeros((bucket - w,) + data.shape[1:], data.dtype)
+            data = np.concatenate([data, pad], axis=0)
+        return data[None], mask[None]
 
     def run_fold(self, fold_num, train_dataset, test_dataset, tx):
         conf = self.conf
@@ -58,7 +65,7 @@ class NestedTrainer(Trainer):
         pipeline = BatchPipeline(train_dataset)
         self.rng, init_rng = jax.random.split(self.rng)
         groups = self._patient_groups(train_dataset)
-        sample = self._gather_super_batch(train_dataset, groups[0][1][:2])
+        sample, _ = self._gather_super_batch(train_dataset, groups[0][1][:2])
         variables = model.init(
             {"params": init_rng, "dropout": init_rng},
             jnp.asarray(sample), None, True,
@@ -74,7 +81,7 @@ class NestedTrainer(Trainer):
         compute_dtype = self.compute_dtype
         last_breath = conf.get("loss_calc") == "last_breath"
 
-        def loss_wrap(params, data, target, dropout_rng):
+        def loss_wrap(params, data, target, wmask, dropout_rng):
             data = pipeline(data.reshape(-1, *data.shape[2:]))
             data = data.reshape(1, -1, *data.shape[1:])
             data = _maybe_cast(data, compute_dtype)
@@ -82,18 +89,21 @@ class NestedTrainer(Trainer):
             out = model.apply(
                 {"params": params_c}, data, None, False,
                 rngs={"dropout": dropout_rng},
+                window_mask=wmask.astype(bool),
             ).astype(jnp.float32)  # (1, W, 2)
             if last_breath:
-                return loss_fn(out[:, -1, :], target), out
-            t = jnp.repeat(target[:, None, :], out.shape[1], axis=1)
-            return loss_fn(out, t), out
+                last_real = jnp.maximum(wmask[0].sum().astype(jnp.int32), 1)
+                logits = jnp.take(out[0], last_real - 1, axis=0)[None]
+                return loss_fn(logits, target), out
+            t = jnp.repeat(target, out.shape[1], axis=0)  # (W, 2)
+            return loss_fn(out[0], t, wmask[0]), out
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def train_step(state, data, target):
+        def train_step(state, data, target, wmask):
             rng, drng = jax.random.split(state.rng)
             (loss, _), grads = jax.value_and_grad(
                 loss_wrap, has_aux=True
-            )(state.params, data, target, drng)
+            )(state.params, data, target, wmask, drng)
             grads = _maybe_cast(grads, jnp.float32)
             updates, opt_state = tx.update(
                 grads, state.opt_state, state.params
@@ -107,9 +117,9 @@ class NestedTrainer(Trainer):
             )
 
         @jax.jit
-        def eval_step(state, data, target):
+        def eval_step(state, data, target, wmask):
             rng, drng = jax.random.split(state.rng)
-            loss, out = loss_wrap(state.params, data, target, drng)
+            loss, out = loss_wrap(state.params, data, target, wmask, drng)
             return state.replace(rng=rng), loss, out
 
         epochs = conf.get("epochs", 10)
@@ -117,9 +127,11 @@ class NestedTrainer(Trainer):
             order = self.host_rng.permutation(len(groups))
             for gi in order:
                 pt, idxs, y = groups[gi]
-                data = self._gather_super_batch(train_dataset, idxs)
+                data, wmask = self._gather_super_batch(train_dataset, idxs)
                 target = jnp.asarray(np.eye(2, dtype=np.float32)[y][None])
-                state, loss = train_step(state, jnp.asarray(data), target)
+                state, loss = train_step(
+                    state, jnp.asarray(data), target, jnp.asarray(wmask)
+                )
                 self.results.update_loss(fold_num, float(loss))
                 if conf.get("debug"):
                     break
@@ -133,11 +145,13 @@ class NestedTrainer(Trainer):
                            epoch_num):
         preds, pred_idx = [], []
         for pt, idxs, y in self._patient_groups(dataset):
-            data = self._gather_super_batch(dataset, idxs)
+            data, wmask = self._gather_super_batch(dataset, idxs)
             target = jnp.asarray(np.eye(2, dtype=np.float32)[y][None])
-            state, loss, out = eval_step(state, jnp.asarray(data), target)
+            state, loss, out = eval_step(
+                state, jnp.asarray(data), target, jnp.asarray(wmask)
+            )
             self.results.update_meter("test_loss", fold_num, float(loss))
-            out = np.asarray(out)[0, : len(idxs)]  # (W, 2) drop repeats
+            out = np.asarray(out)[0, : len(idxs)]  # (W, 2) drop padding
             preds.extend(out.argmax(axis=-1).tolist())
             pred_idx.extend(np.asarray(idxs).tolist())
         self.record_classifier_results(

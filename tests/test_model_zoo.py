@@ -190,3 +190,40 @@ def test_siamese_pretrained_classifier():
     m = SiameseARDSClassifier(breath_block=densenet18())
     out = _run(m, X, None)
     assert out.shape == (2, 2)
+
+
+def test_nested_per_window_norm_independence():
+    """The nested backbone normalizes PER WINDOW (the reference loops one
+    window per backbone call): window 0's features must not change when
+    window 1's data changes, and zero-padded bucket windows must leave
+    real-window outputs bit-identical."""
+    import jax
+
+    from deepards_tpu.models.densenet1d import densenet18
+    from deepards_tpu.models.nested import CNNToNestedLSTMNetwork
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 3, 2, 1, 224)).astype(np.float32)
+    m = CNNToNestedLSTMNetwork(breath_block=densenet18())
+    variables = m.init(RNGS, jnp.asarray(x), None, True)
+
+    out_a = np.asarray(m.apply(variables, jnp.asarray(x), None, True))
+    x_b = x.copy()
+    # additive independent noise (a pure scale is invisible to
+    # batch-stat normalization) on only the LAST window
+    x_b[0, 2] += rng.normal(size=x_b[0, 2].shape).astype(np.float32)
+    out_b = np.asarray(m.apply(variables, jnp.asarray(x_b), None, True))
+    # causal over windows + per-window norm: first two windows unchanged
+    np.testing.assert_allclose(out_a[0, :2], out_b[0, :2], atol=1e-6)
+    assert not np.allclose(out_a[0, 2], out_b[0, 2])
+
+    # zero-pad to a bucket of 4: real-window outputs identical
+    x_pad = np.concatenate(
+        [x, np.zeros((1, 1, 2, 1, 224), np.float32)], axis=1
+    )
+    mask = jnp.asarray([[True, True, True, False]])
+    out_pad = np.asarray(
+        m.apply(variables, jnp.asarray(x_pad), None, True,
+                window_mask=mask)
+    )
+    np.testing.assert_allclose(out_pad[0, :3], out_a[0], atol=1e-6)
