@@ -68,6 +68,7 @@ CONFIG_NAMES = {
     3: "bm_pretraining_regression",
     4: "cnn_lstm_unpadded_centered_nb20",
     5: "protopnet_train_plus_gradcam",
+    6: "real_data_epoch_throughput",
 }
 
 
@@ -501,7 +502,87 @@ def config5():
     }
 
 
-CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+def config6():
+    """REAL-data epoch throughput: full host pipeline (cohort ETL cache ->
+    shuffled gather -> background prefetch -> device_put -> fused train
+    scan) on a deterministic synthetic cohort.  Measures what the
+    on-device-synthetic configs deliberately exclude: the input pipeline
+    (reference analogue: DataLoader(num_workers),
+    train_ards_detector.py:329-336)."""
+    import shutil
+    import tempfile
+
+    from deepards_tpu.config import Configuration
+    from deepards_tpu.data.pipeline import BatchPipeline
+    from deepards_tpu.data.synthetic import generate_cohort
+    from deepards_tpu.train import losses as loss_lib
+    from deepards_tpu.train.loop import make_trainer
+    from deepards_tpu.train.steps import (
+        create_train_state,
+        make_train_step,
+    )
+
+    cohort_dir = "/tmp/deepards_bench_cohort_v1"
+    if not os.path.exists(os.path.join(cohort_dir,
+                                       "cohort-description.csv")):
+        os.makedirs(cohort_dir, exist_ok=True)
+        generate_cohort(cohort_dir, n_patients=8,
+                        n_breaths_per_patient=4000, seed=99)
+    results_dir = tempfile.mkdtemp(prefix="bench_c6_")
+    conf = Configuration(overrides=dict(
+        data_path=cohort_dir,
+        cohort_file=os.path.join(cohort_dir, "cohort-description.csv"),
+        experiment_num=1,
+        network="cnn_linear",
+        base_network="densenet18",
+        dataset_type="unpadded_centered_sequences",
+        n_sub_batches=WINDOWS,
+        kfolds=2,
+        only_fold=0,
+        epochs=1,
+        batch_size=BATCH,
+        fused_steps=8,
+        results_dir=results_dir,
+    ))
+    trainer = make_trainer(conf, verbose=False)
+    train_ds, _ = trainer.get_base_datasets()
+    train_ds.set_kfold_indexes_for_fold(0)
+    pipeline = BatchPipeline(train_ds)
+    model = trainer.build_model()
+    tx = _make_optimizer()
+    sample = train_ds.gather(train_ds.current_indices()[:BATCH])
+    state = create_train_state(model, tx, sample, jax.random.PRNGKey(0))
+    train_step, _, train_scan, _ = make_train_step(
+        model, tx, loss_lib.bce_with_logits, target_mode="per_sample",
+        transform=pipeline, compute_dtype=jnp.bfloat16,
+    )
+    n_seqs = len(train_ds.current_indices())
+    cell = {"state": state}
+
+    def one_epoch():
+        # the fused scan donates the state buffers: thread the fresh
+        # state through a cell so each epoch uses live buffers
+        cell["state"] = trainer.run_train_epoch(
+            cell["state"], train_step, train_ds, 0, 1,
+            train_scan=train_scan,
+        )
+
+    one_epoch()  # compile
+    one_epoch()  # residual warmup (first post-compile dispatch chain)
+    t1 = _median_time(one_epoch, repeats=5)
+    shutil.rmtree(results_dir, ignore_errors=True)
+    # no linearity gate: the fused epoch path materializes every loss to
+    # host floats (update_loss), so enqueue-only timing cannot happen
+    return {
+        "seqs_per_sec": n_seqs / t1,
+        "time": t1,
+        "linearity": None,
+        "flops": None,
+    }
+
+
+CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
+           6: config6}
 
 
 def measure_torch_baseline():
@@ -632,7 +713,7 @@ def main():
 
     res = CONFIGS[args.config]()
 
-    if res["linearity"] < 1.5:
+    if res["linearity"] is not None and res["linearity"] < 1.5:
         raise RuntimeError(
             "linearity self-check failed (2N/N time ratio {:.2f} < 1.5): "
             "the timed region is not measuring compute; refusing to report"
@@ -670,7 +751,10 @@ def main():
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "config": args.config,
         "config_name": CONFIG_NAMES[args.config],
-        "linearity_2n_over_n": round(res["linearity"], 3),
+        "linearity_2n_over_n": (
+            round(res["linearity"], 3)
+            if res["linearity"] is not None else None
+        ),
         "implied_tflops": (
             round(implied_tflops, 2) if implied_tflops is not None else None
         ),

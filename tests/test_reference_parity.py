@@ -309,3 +309,68 @@ def test_vgg11_bn_forward_parity():
     out = model.apply({"params": params}, jnp.asarray(x), True)
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-4,
                                rtol=1e-4)
+
+
+def test_cnn_lstm_end_to_end_parity(ref_densenet):
+    """Full cnn_lstm per-window logits parity
+    (reference: torch_cnn_lstm_combo.py:6-50).  torch LSTM gate rows are
+    ordered [i, f, g, o]; flax OptimizedLSTMCell keeps input kernels
+    i{i,f,g,o} (no bias) and hidden kernels h{i,f,g,o} (bias), so the
+    transplanted bias is bias_ih + bias_hh.  batch=1 sequence matches the
+    reference's per-sequence BN statistics."""
+    ref_lstm = _load_ref("ref_cnn_lstm", "torch_cnn_lstm_combo.py")
+    from deepards_tpu.models.densenet1d import densenet18
+    from deepards_tpu.models.recurrent import CNNLSTMNetwork
+
+    torch.manual_seed(6)
+    H = 16
+    tback = ref_densenet.densenet18()
+    tnet = ref_lstm.CNNLSTMNetwork(
+        tback, metadata_features=0, bm_to_linear=False,
+        lstm_hidden_units=H,
+    )
+    tnet.eval()
+
+    model = CNNLSTMNetwork(breath_block=densenet18(), lstm_hidden_units=H)
+
+    lstm = tnet.lstm
+    w_ih = lstm.weight_ih_l0.detach().numpy()  # (4H, F) rows [i,f,g,o]
+    w_hh = lstm.weight_hh_l0.detach().numpy()  # (4H, H)
+    b = (lstm.bias_ih_l0 + lstm.bias_hh_l0).detach().numpy()
+    gates = {"i": 0, "f": 1, "g": 2, "o": 3}
+    cell = {}
+    for name, gi in gates.items():
+        sl = slice(gi * H, (gi + 1) * H)
+        cell["i" + name] = {"kernel": jnp.asarray(w_ih[sl].T)}
+        cell["h" + name] = {
+            "kernel": jnp.asarray(w_hh[sl].T),
+            "bias": jnp.asarray(b[sl]),
+        }
+    params = {
+        "breath_block": transplant_densenet(tback, (2, 2, 2, 2)),
+        "OptimizedLSTMCell_0": cell,
+        "Dense_0": {
+            "kernel": jnp.asarray(
+                tnet.linear_final.weight.detach().numpy().T
+            ),
+            "bias": jnp.asarray(tnet.linear_final.bias.detach().numpy()),
+        },
+    }
+
+    S = 6
+    x = np.random.default_rng(6).normal(size=(1, S, 1, 224)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        ref_logits, _ = tnet(
+            torch.from_numpy(x), torch.full((1, S, 9), float("nan")), None
+        )
+    out = model.apply(
+        {"params": params}, jnp.asarray(x), None, True,
+        rngs={"dropout": jax.random.PRNGKey(0)},
+    )
+    if isinstance(out, tuple):
+        out = out[0]
+    np.testing.assert_allclose(
+        np.asarray(out), ref_logits.numpy(), atol=1e-4, rtol=1e-4
+    )

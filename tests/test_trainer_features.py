@@ -293,3 +293,45 @@ def test_prefetch_loader_preserves_order_and_errors():
 
     with pytest.raises(ValueError, match="boom"):
         list(PrefetchLoader(items, map_fn=bad_map))
+
+
+def test_shard_state_head_dense_rules():
+    """shard_state places head Dense leaves over the model axis and
+    replicates everything else (the dp+tp layout the multichip dryrun
+    exercises)."""
+    import jax
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from deepards_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = mesh_lib.make_mesh(dp_devices=4, model_devices=2)
+    tree = {
+        "params": {
+            "Dense_0": {
+                "kernel": np.zeros((8, 2), np.float32),
+                "bias": np.zeros((2,), np.float32),
+            },
+            "breath_block": {"w": np.zeros((3, 3), np.float32)},
+        }
+    }
+    out = mesh_lib.shard_state(
+        mesh, tree, rules=mesh_lib.HEAD_DENSE_MODEL_RULES
+    )
+    kspec = out["params"]["Dense_0"]["kernel"].sharding.spec
+    assert tuple(kspec) == (None, mesh_lib.MODEL_AXIS)
+    bspec = out["params"]["Dense_0"]["bias"].sharding.spec
+    assert tuple(bspec) == (mesh_lib.MODEL_AXIS,)
+    wspec = out["params"]["breath_block"]["w"].sharding.spec
+    assert tuple(wspec) == tuple(P())
+
+    # a kernel whose dim doesn't divide the axis stays replicated
+    odd = {"Dense_0": {"kernel": np.zeros((8, 3), np.float32)}}
+    out2 = mesh_lib.shard_state(
+        mesh, odd, rules=mesh_lib.HEAD_DENSE_MODEL_RULES
+    )
+    assert tuple(out2["Dense_0"]["kernel"].sharding.spec) == tuple(P())
