@@ -522,12 +522,13 @@ def config6():
         make_train_step,
     )
 
-    cohort_dir = "/tmp/deepards_bench_cohort_v1"
+    # big enough that one epoch amortizes the ~30ms dispatch floor
+    cohort_dir = "/tmp/deepards_bench_cohort_v2"
     if not os.path.exists(os.path.join(cohort_dir,
                                        "cohort-description.csv")):
         os.makedirs(cohort_dir, exist_ok=True)
         generate_cohort(cohort_dir, n_patients=8,
-                        n_breaths_per_patient=4000, seed=99)
+                        n_breaths_per_patient=24000, seed=99)
     results_dir = tempfile.mkdtemp(prefix="bench_c6_")
     conf = Configuration(overrides=dict(
         data_path=cohort_dir,

@@ -445,6 +445,140 @@ class Trainer:
         self.final_state = state
         return state
 
+    # -- device-resident cache epochs -----------------------------------------
+
+    _DEVICE_CACHE_MAX_BYTES = 2 << 30  # 2 GiB of window cache fits HBM
+
+    def _device_cache_eligible(self, dataset, resume):
+        """The whole-epoch-on-device fast path: the dense window cache is
+        uploaded once and every batch is gathered ON DEVICE inside one
+        scanned program — the host pipeline (gather/device_put per batch)
+        drops out entirely.  Eligible when nothing needs the host in the
+        loop: no augmentation transforms, no mid-epoch checkpoints or
+        resume, no stop-on-loss breaker, standard (non-2D) datasets."""
+        conf = self.conf
+        flag = conf.get("device_cache")
+        if flag is False:
+            return False
+        if getattr(self.spec, "two_dim", False):
+            return False
+        if callable(getattr(dataset, "transforms", None)):
+            return False
+        if resume is not None or conf.get("checkpoint_every_n_steps"):
+            return False
+        if conf.get("stop_on_loss") or conf.get("debug"):
+            return False
+        cache = getattr(dataset, "cache", None)
+        if cache is None:
+            return False
+        if flag is not True and cache.data.nbytes > self._DEVICE_CACHE_MAX_BYTES:
+            return False
+        return True
+
+    def _get_device_cache(self, dataset):
+        caches = getattr(self, "_dev_caches", None)
+        if caches is None:
+            caches = self._dev_caches = {}
+        # key on the underlying array: kfold train/test views share one
+        # cache object and must not be uploaded twice
+        key = id(dataset.cache.data)
+        if key not in caches:
+            rep = mesh_lib.replicated(self.mesh)
+            dev = {
+                "data": jax.device_put(dataset.cache.data, rep),
+                "target": jax.device_put(dataset.cache.target, rep),
+            }
+            if dataset.cache.meta is not None:
+                dev["metadata"] = jax.device_put(dataset.cache.meta, rep)
+            caches[key] = dev
+        return caches[key]
+
+    def _device_epoch_scan(self, train_step, with_meta):
+        fns = getattr(self, "_dev_epoch_fns", None)
+        if fns is None:
+            fns = self._dev_epoch_fns = {}
+        key = (id(train_step), with_meta)
+        if key not in fns:
+            import functools
+
+            batch_sh = mesh_lib.batch_sharding(self.mesh)
+
+            def shard(tree):
+                return jax.tree_util.tree_map(
+                    lambda v: jax.lax.with_sharding_constraint(v, batch_sh),
+                    tree,
+                )
+
+            if with_meta:
+                @functools.partial(jax.jit, donate_argnums=(0,))
+                def epoch_scan(state, data, target, meta, perm, masks):
+                    def body(s, xs):
+                        ids, m = xs
+                        batch = shard({
+                            "data": jnp.take(data, ids, axis=0),
+                            "target": jnp.take(target, ids, axis=0),
+                            "metadata": jnp.take(meta, ids, axis=0),
+                        })
+                        s, loss = train_step(s, batch, shard(m))
+                        return s, loss
+
+                    return jax.lax.scan(body, state, (perm, masks))
+            else:
+                @functools.partial(jax.jit, donate_argnums=(0,))
+                def epoch_scan(state, data, target, perm, masks):
+                    def body(s, xs):
+                        ids, m = xs
+                        batch = shard({
+                            "data": jnp.take(data, ids, axis=0),
+                            "target": jnp.take(target, ids, axis=0),
+                        })
+                        s, loss = train_step(s, batch, shard(m))
+                        return s, loss
+
+                    return jax.lax.scan(body, state, (perm, masks))
+            fns[key] = epoch_scan
+        return fns[key]
+
+    def _run_train_epoch_device_cache(self, state, train_step, dataset,
+                                      fold_num, epoch_num):
+        conf = self.conf
+        batch_size = conf.get("batch_size", 16)
+        dp = self.mesh.shape[mesh_lib.DATA_AXIS]
+        target = -(-batch_size // dp) * dp
+        idx = np.asarray(dataset.current_indices())
+        perm = (
+            idx if conf.get("unshuffled")
+            else self.host_rng.permutation(idx)
+        )
+        n = len(perm)
+        steps = -(-n // target)
+        pad = steps * target - n
+        masks = np.ones(steps * target, np.float32)
+        if pad:
+            masks[n:] = 0.0
+            perm = np.concatenate([perm, perm[:pad]])
+        dev = self._get_device_cache(dataset)
+        if self.verbose:
+            print("train instances: {} (device-cache epoch)".format(steps))
+        perm_d = jnp.asarray(perm.reshape(steps, target).astype(np.int32))
+        masks_d = jnp.asarray(masks.reshape(steps, target))
+        scan = self._device_epoch_scan(train_step, "metadata" in dev)
+        if "metadata" in dev:
+            state, losses = scan(
+                state, dev["data"], dev["target"], dev["metadata"],
+                perm_d, masks_d,
+            )
+        else:
+            state, losses = scan(
+                state, dev["data"], dev["target"], perm_d, masks_d
+            )
+        for l in np.asarray(losses):
+            self.results.update_meter(
+                "loss_epoch_{}".format(epoch_num), fold_num, float(l)
+            )
+            self.results.update_loss(fold_num, float(l))
+        return state
+
     def _run_stateful_fold(self, state, model, pipeline, tx, train_dataset,
                            test_dataset, fold_num):
         """cnn_lstm unshuffled mode: batch_size=1 patient-ordered batches
@@ -593,6 +727,10 @@ class Trainer:
             perm = (
                 self.host_rng.permutation(idx)
                 if not conf.get("unshuffled") else idx
+            )
+        if self._device_cache_eligible(dataset, resume):
+            return self._run_train_epoch_device_cache(
+                state, train_step, dataset, fold_num, epoch_num
             )
         if fused > 1 and train_scan is not None:
             return self._run_train_epoch_fused(
@@ -758,9 +896,90 @@ class Trainer:
                 self.results.update_loss(fold_num, float(l))
         return state
 
+    def _device_eval_scan(self, eval_step, with_meta):
+        fns = getattr(self, "_dev_eval_fns", None)
+        if fns is None:
+            fns = self._dev_eval_fns = {}
+        key = (id(eval_step), with_meta)
+        if key not in fns:
+            batch_sh = mesh_lib.batch_sharding(self.mesh)
+
+            def shard(tree):
+                return jax.tree_util.tree_map(
+                    lambda v: jax.lax.with_sharding_constraint(v, batch_sh),
+                    tree,
+                )
+
+            @jax.jit
+            def eval_scan(state, dev, perm, masks):
+                def body(s, xs):
+                    ids, m = xs
+                    batch = shard(jax.tree_util.tree_map(
+                        lambda a: jnp.take(a, ids, axis=0), dev
+                    ))
+                    s, loss, out = eval_step(s, batch, shard(m))
+                    return s, (loss, out)
+
+                return jax.lax.scan(body, state, (perm, masks))
+
+            fns[key] = eval_scan
+        return fns[key]
+
+    def _run_test_epoch_device_cache(self, state, eval_step, dataset,
+                                     fold_num, epoch_num):
+        """Whole test epoch in one device dispatch over the uploaded
+        cache (mirror of the train fast path)."""
+        conf = self.conf
+        batch_size = conf.get("batch_size", 16)
+        dp = self.mesh.shape[mesh_lib.DATA_AXIS]
+        target = -(-batch_size // dp) * dp
+        idx = np.asarray(dataset.current_indices())
+        n = len(idx)
+        steps = -(-n // target)
+        pad = steps * target - n
+        masks = np.ones(steps * target, np.float32)
+        perm = idx
+        if pad:
+            masks[n:] = 0.0
+            perm = np.concatenate([idx, idx[:pad]])
+        dev = self._get_device_cache(dataset)
+        scan = self._device_eval_scan(eval_step, "metadata" in dev)
+        state, (losses, outs) = scan(
+            state, dev,
+            jnp.asarray(perm.reshape(steps, target).astype(np.int32)),
+            jnp.asarray(masks.reshape(steps, target)),
+        )
+        losses = np.asarray(losses)
+        for l in losses:
+            self.results.update_meter("test_loss", fold_num, float(l))
+            self.results.update_epoch_meter(
+                "test_loss", epoch_num, float(l)
+            )
+        outs = np.asarray(outs)
+        out_flat = outs.reshape((steps * target,) + outs.shape[2:])[:n]
+        if self.spec.kind == "classifier":
+            if self.spec.expand_obs_idx:
+                preds = out_flat.argmax(axis=-1).reshape(-1).tolist()
+                pred_idx = np.repeat(idx, out_flat.shape[1]).tolist()
+            else:
+                preds = out_flat.argmax(axis=-1).tolist()
+                pred_idx = idx.tolist()
+            self.record_classifier_results(
+                preds, pred_idx, dataset, fold_num, epoch_num
+            )
+        elif self.spec.kind == "regressor":
+            self.record_regressor_results(
+                out_flat, dataset.cache.target[idx], fold_num
+            )
+        return state
+
     def run_test_epoch(self, state, eval_step, dataset, fold_num, epoch_num):
         conf = self.conf
         batch_size = conf.get("batch_size", 16)
+        if self._device_cache_eligible(dataset, None):
+            return self._run_test_epoch_device_cache(
+                state, eval_step, dataset, fold_num, epoch_num
+            )
         loader = EpochLoader(dataset, batch_size, shuffle=False)
         preds = []
         pred_idx = []

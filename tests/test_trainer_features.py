@@ -335,3 +335,43 @@ def test_shard_state_head_dense_rules():
         mesh, odd, rules=mesh_lib.HEAD_DENSE_MODEL_RULES
     )
     assert tuple(out2["Dense_0"]["kernel"].sharding.spec) == tuple(P())
+
+
+def test_device_cache_epoch_matches_host_path(synthetic_cohort, tmp_path):
+    """The whole-epoch-on-device fast path must reproduce the host
+    pipeline's losses exactly (same permutation, same rng stream)."""
+    import numpy as np
+
+    from deepards_tpu.config import Configuration
+    from deepards_tpu.train.loop import make_trainer
+
+    def run(extra, d):
+        conf = Configuration(overrides=dict(
+            data_path=synthetic_cohort["data_path"],
+            cohort_file=synthetic_cohort["cohort_file"],
+            experiment_num=1,
+            network="cnn_linear",
+            base_network="densenet18",
+            dataset_type="unpadded_centered_sequences",
+            n_sub_batches=2,
+            kfolds=2,
+            only_fold=0,
+            epochs=1,
+            batch_size=8,
+            compute_dtype="float32",
+            results_dir=str(d),
+            seed=11,
+            **extra,
+        ))
+        t = make_trainer(conf, verbose=False)
+        t.train_and_test()
+        return list(t.results.get_meter("loss_epoch_1", 0).values)
+
+    dev = run(dict(device_cache=True), tmp_path / "dev")
+    host = run(dict(device_cache=False, fused_steps=1), tmp_path / "host")
+    assert len(dev) == len(host) > 0
+    # identical permutation + rng stream; the two compiled programs only
+    # differ by f32 rounding, which compounds over steps — pin the first
+    # steps tightly and the epoch statistics loosely
+    np.testing.assert_allclose(dev[:5], host[:5], rtol=1e-4, atol=1e-5)
+    assert abs(float(np.mean(dev)) - float(np.mean(host))) < 0.02
