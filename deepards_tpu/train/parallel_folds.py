@@ -131,6 +131,28 @@ class ParallelFoldTrainer(Trainer):
                 loss,
             )
 
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_epoch_all(state, data_cache, target_cache, ids, masks):
+            """Whole epoch, all folds, ONE dispatch: per scanned step the
+            (F, B) index block gathers on device from the uploaded cache
+            and a vmapped fold step advances every fold."""
+
+            def body(s, xs):
+                ids_s, m = xs  # (F, B)
+                data = jnp.take(data_cache, ids_s, axis=0)
+                target = jnp.take(target_cache, ids_s, axis=0)
+                params, opt_state, rng, loss = jax.vmap(fold_train_step)(
+                    s.params, s.opt_state, s.rng, data, target, m,
+                    mus, stds,
+                )
+                return (
+                    s.replace(params=params, opt_state=opt_state, rng=rng,
+                              step=s.step + 1),
+                    loss,
+                )
+
+            return jax.lax.scan(body, state, (ids, masks))
+
         @jax.jit
         def eval_step_all(state, data, target, mask):
             def one(params, rng, data, target, mask, mu, std):
@@ -149,10 +171,20 @@ class ParallelFoldTrainer(Trainer):
         epochs = conf.get("epochs", 10)
         for epoch_num in range(1, epochs + 1):
             if not conf.get("no_train"):
-                state = self._parallel_train_epoch(
-                    state, train_step_all, train_dataset, fold_train_idx,
-                    batch_size, epoch_num,
+                use_device = (
+                    self._device_cache_eligible(train_dataset, None)
+                    and min(len(i) for i in fold_train_idx) >= batch_size
                 )
+                if use_device:
+                    state = self._parallel_train_epoch_device(
+                        state, train_epoch_all, train_dataset,
+                        fold_train_idx, batch_size, epoch_num,
+                    )
+                else:
+                    state = self._parallel_train_epoch(
+                        state, train_step_all, train_dataset,
+                        fold_train_idx, batch_size, epoch_num,
+                    )
             state = self._parallel_test_epoch(
                 state, eval_step_all, test_dataset, fold_test_idx,
                 batch_size, epoch_num,
@@ -173,6 +205,32 @@ class ParallelFoldTrainer(Trainer):
             clip_grad=bool(conf.get("clip_grad")),
             clip_val=conf.get("clip_val", 0.01),
         )
+
+    def _parallel_train_epoch_device(self, state, train_epoch_all, dataset,
+                                     fold_idx, batch_size, epoch_num):
+        """Device-cache fast path: one dispatch per epoch (all folds)."""
+        n_folds = len(fold_idx)
+        orders = [self.host_rng.permutation(idx) for idx in fold_idx]
+        n_steps = min(len(o) for o in orders) // batch_size
+        ids = np.stack([
+            o[: n_steps * batch_size].reshape(n_steps, batch_size)
+            for o in orders
+        ], axis=1)  # (n_steps, F, B)
+        masks = np.ones((n_steps, n_folds, batch_size), np.float32)
+        dev = self._get_device_cache(dataset)
+        state, losses = train_epoch_all(
+            state, dev["data"], dev["target"],
+            jnp.asarray(ids.astype(np.int32)), jnp.asarray(masks),
+        )
+        losses = np.asarray(losses)  # (n_steps, F)
+        for s in range(n_steps):
+            for f in range(n_folds):
+                self.results.update_meter(
+                    "loss_epoch_{}".format(epoch_num), f,
+                    float(losses[s, f]),
+                )
+                self.results.update_loss(f, float(losses[s, f]))
+        return state
 
     def _parallel_train_epoch(self, state, train_step_all, dataset,
                               fold_idx, batch_size, epoch_num):

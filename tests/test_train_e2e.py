@@ -154,3 +154,38 @@ def test_e2e_parallel_folds(synthetic_cohort, tmp_path):
         assert len(results.get_meter("loss", f)) > 0
         assert len(results.get_meter("test_auc", f)) == 2
     assert set(results.results.fold_num.unique()) == {0, 1}
+
+
+def test_e2e_parallel_folds_device_cache_both_paths(synthetic_cohort,
+                                                    tmp_path):
+    """The parallel-fold device-cache epoch (one dispatch per epoch, all
+    folds) and the host-gather path both train to finite losses with the
+    same meter structure."""
+    from deepards_tpu.train.loop import make_trainer
+
+    metered = {}
+    for name, flag in (("dev", True), ("host", False)):
+        conf = _conf(
+            synthetic_cohort,
+            results_dir=str(tmp_path / name),
+            kfolds=2,
+            epochs=1,
+            parallel_folds=True,
+            device_cache=flag,
+            seed=21,
+        )
+        trainer = make_trainer(conf, verbose=False)
+        results = trainer.train_and_test()
+        # the device path must have actually uploaded the cache (and the
+        # host path must not have)
+        assert bool(getattr(trainer, "_dev_caches", None)) == flag
+        metered[name] = [
+            list(results.get_meter("loss_epoch_1", f).values)
+            for f in (0, 1)
+        ]
+    for f in (0, 1):
+        assert len(metered["dev"][f]) == len(metered["host"][f]) > 0
+        np.testing.assert_allclose(
+            metered["dev"][f][:3], metered["host"][f][:3],
+            rtol=1e-4, atol=1e-5,
+        )
