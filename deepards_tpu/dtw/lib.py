@@ -101,7 +101,15 @@ def dtw_analyze(pt_data, n_breaths, rolling_av_len, pt_preds_by_hour):
 def analyze_patient(patient_id, dataset, cache_dir, preds_by_hour,
                     n_breaths=3, rolling_len=1):
     """Per-patient rolling-DTW frame with on-disk cache
-    (reference: dtw_lib.py:375-409)."""
+    (reference: dtw_lib.py:375-409).
+
+    Cache-key provenance (deliberate): the filename carries every input
+    that changes the DTW scores — patient, n_breaths, rolling_len,
+    dataset_type, n_sub_batches, and kfold-vs-holdout split mode.  Other
+    dataset knobs (butter/fft filters, downsampling) act at TRANSFORM
+    time, after the cache's raw windows, and so do not feed the scores;
+    this matches the reference's cache filename fields (dtw_lib.py:378).
+    """
     pt_dir = os.path.join(cache_dir, str(patient_id))
     os.makedirs(pt_dir, exist_ok=True)
     split_type = "kfold" if dataset.kfold_num else "holdout"

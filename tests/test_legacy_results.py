@@ -18,17 +18,22 @@ ModelResults = _legacy_class("ModelResults")
 ModelCollection = _legacy_class("ModelCollection")
 
 # pickle verifies classes resolve through their recorded module at dump
-# time: register a fake deepards.results module carrying the stand-ins
+# time: register a fake deepards.results module carrying the stand-ins.
+# Registered PER TEST (other test modules also shim "deepards" in
+# sys.modules and tear it down, so module-level registration is racy).
 import sys  # noqa: E402
 import types  # noqa: E402
 
-_pkg = types.ModuleType("deepards")
-_mod = types.ModuleType("deepards.results")
-for _cls in (PatientResults, ModelResults, ModelCollection):
-    setattr(_mod, _cls.__name__, _cls)
-_pkg.results = _mod
-sys.modules.setdefault("deepards", _pkg)
-sys.modules.setdefault("deepards.results", _mod)
+
+@pytest.fixture(autouse=True)
+def _fake_deepards_modules(monkeypatch):
+    pkg = types.ModuleType("deepards")
+    mod = types.ModuleType("deepards.results")
+    for cls in (PatientResults, ModelResults, ModelCollection):
+        setattr(mod, cls.__name__, cls)
+    pkg.results = mod
+    monkeypatch.setitem(sys.modules, "deepards", pkg)
+    monkeypatch.setitem(sys.modules, "deepards.results", mod)
 
 
 def _make_collection():
