@@ -192,10 +192,12 @@ def _standard_config(model, loss_fn, target_mode, batch=BATCH,
             else np.eye(2, dtype=np.float32)[rng.integers(0, 2, batch)]
         ),
     }
-    state = create_train_state(model, tx, sample, jax.random.PRNGKey(0))
+    state = create_train_state(
+        model, tx, sample, jax.random.PRNGKey(0), rng_impl="rbg"
+    )
     train_step, eval_step, train_scan, eval_scan = make_train_step(
         model, tx, loss_fn, target_mode=target_mode,
-        compute_dtype=jnp.bfloat16,
+        compute_dtype=jnp.bfloat16, rng_impl="rbg",
     )
     one_batch = {k: jnp.asarray(v) for k, v in sample.items()}
     one_mask = jnp.ones(batch, jnp.float32)
@@ -288,7 +290,11 @@ def config2():
     from deepards_tpu.models.heads import CNNLinearNetwork
     from deepards_tpu.models.resnet1d import resnet18
     from deepards_tpu.train import losses as loss_lib
-    from deepards_tpu.train.steps import _maybe_cast
+    from deepards_tpu.train.steps import (
+        _maybe_cast,
+        make_state_rng,
+        split_state_rng,
+    )
 
     n_folds = 5
     model = CNNLinearNetwork(breath_block=resnet18())
@@ -306,7 +312,10 @@ def config2():
     fold_keys = jax.random.split(jax.random.PRNGKey(0), n_folds)
     params = jax.jit(jax.vmap(init_one))(fold_keys)
     opt_state = jax.vmap(tx.init)(params)
-    rngs = jax.random.split(jax.random.PRNGKey(7), n_folds)
+    rngs = jnp.stack([
+        make_state_rng(k, "rbg")
+        for k in jax.random.split(jax.random.PRNGKey(7), n_folds)
+    ])
     state = (params, opt_state, rngs)
 
     def fold_loss(p, data, target, mask, drng):
@@ -318,7 +327,7 @@ def config2():
         return loss_fn(out, target, mask)
 
     def fold_step(p, o, r, data, target, mask):
-        r, drng = jax.random.split(r)
+        r, drng = split_state_rng(r, "rbg")
         loss, grads = jax.value_and_grad(fold_loss)(
             p, data, target, mask, drng
         )
@@ -341,7 +350,7 @@ def config2():
         return jax.lax.scan(body, state, (stacked, masks))
 
     def fold_eval(p, r, data, target, mask):
-        r, drng = jax.random.split(r)
+        r, drng = split_state_rng(r, "rbg")
         loss = fold_loss(p, data, target, mask, drng)
         return r, loss
 
@@ -412,7 +421,11 @@ def config5():
     from deepards_tpu.models.densenet1d import densenet18
     from deepards_tpu.models.protopnet1d import construct_ppnet
     from deepards_tpu.train.protopnet_trainer import ppnet_loss
-    from deepards_tpu.train.steps import _maybe_cast
+    from deepards_tpu.train.steps import (
+        _maybe_cast,
+        make_state_rng,
+        split_state_rng,
+    )
 
     model = construct_ppnet(densenet18(), sub_batch_size=WINDOWS)
     tx = _make_optimizer()
@@ -422,7 +435,8 @@ def config5():
         sample, None, True,
     )
     params = variables["params"]
-    state = (params, tx.init(params), jax.random.PRNGKey(3))
+    state = (params, tx.init(params),
+             make_state_rng(jax.random.PRNGKey(3), "rbg"))
     ident = model.class_identity_windows()
     max_dist = model.max_dist
 
@@ -444,7 +458,7 @@ def config5():
         def body(s, xs):
             p, o, r = s
             b, m = xs
-            r, drng = jax.random.split(r)
+            r, drng = split_state_rng(r, "rbg")
             loss, grads = jax.value_and_grad(loss_wrap)(
                 p, b["data"], b["target"], m, drng
             )

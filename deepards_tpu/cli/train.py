@@ -63,6 +63,10 @@ def build_parser():
     flag("--save-model-per-epoch")
     parser.add_argument("--load-base-network")
     parser.add_argument("--load-checkpoint")
+    parser.add_argument("--rng-impl", choices=("rbg", "threefry",
+                        "unsafe_rbg"),
+                        help="dropout PRNG implementation (default rbg: "
+                             "~3x faster mask draws on TPU)")
     parser.add_argument("--checkpoint-every-n-steps", type=int,
                         help="save a mid-epoch resume checkpoint every N "
                              "train steps (requires --save-model)")

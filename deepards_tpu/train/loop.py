@@ -31,6 +31,7 @@ from deepards_tpu.train.steps import (
     create_train_state,
     make_optimizer,
     make_train_step,
+    split_state_rng,
 )
 
 
@@ -125,6 +126,13 @@ class Trainer:
                 valpha=conf.get("valpha", float("inf")) or float("inf"),
                 conf_beta=conf.get("conf_beta", 1.0) or 1.0,
             )
+
+    def _rng_impl(self):
+        """Dropout-mask PRNG implementation: "rbg" (default) rides XLA's
+        RngBitGenerator — ~3x faster mask draws than threefry on TPU;
+        set rng_impl: threefry for cross-version key-stream stability."""
+        impl = self.conf.get("rng_impl", "rbg") or "rbg"
+        return None if impl == "threefry" else impl
 
     # -- datasets -------------------------------------------------------------
 
@@ -366,6 +374,7 @@ class Trainer:
             state = create_train_state(
                 model, tx, sample, init_rng,
                 has_metadata=self.spec.uses_metadata,
+                rng_impl=self._rng_impl(),
             )
             restored = checkpoint.restore(conf.load_checkpoint, state)
             state = state.replace(
@@ -378,6 +387,7 @@ class Trainer:
             state = create_train_state(
                 model, tx, sample, init_rng,
                 has_metadata=self.spec.uses_metadata,
+                rng_impl=self._rng_impl(),
             )
         if conf.get("load_base_network"):
             # splice a pretrained backbone into the fresh head
@@ -407,6 +417,7 @@ class Trainer:
             transform=pipeline,
             compute_dtype=self.compute_dtype,
             eval_dropout_active=not self.spec.eval_dropout_off,
+            rng_impl=self._rng_impl(),
         )
         if self.spec.stateful_lstm and conf.get("unshuffled"):
             return self._run_stateful_fold(
@@ -616,9 +627,11 @@ class Trainer:
             )
             return loss_fn(logits, target), (logits, new_carry)
 
+        rng_impl = self._rng_impl()
+
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state, batch, carry):
-            rng, drng = jax.random.split(state.rng)
+            rng, drng = split_state_rng(state.rng, rng_impl)
             (loss, (_, new_carry)), grads = jax.value_and_grad(
                 loss_wrap, has_aux=True
             )(state.params, batch, carry, drng)
@@ -637,7 +650,7 @@ class Trainer:
 
         @jax.jit
         def eval_step(state, batch, carry):
-            rng, drng = jax.random.split(state.rng)
+            rng, drng = split_state_rng(state.rng, rng_impl)
             loss, (logits, new_carry) = loss_wrap(
                 state.params, batch, carry, drng
             )

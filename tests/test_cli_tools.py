@@ -152,3 +152,20 @@ def test_run_experiments_dry_run(capsys):
     out = capsys.readouterr().out
     assert out.count("run:") == 3
     assert "(device 0)" in out and "(device 1)" in out
+
+
+def test_run_experiments_grid_sweep(capsys):
+    """--grid reproduces the reference's shell-loop parameter sweeps
+    (reference: scripts/exploratory/run_transformer_experiments.sh)."""
+    from deepards_tpu.cli.run_experiments import main
+
+    main([
+        "exp.yml", "-n", "1", "--dry-run",
+        "--grid", "base-network=resnet18,densenet18", "batch-size=16,32",
+    ])
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.startswith("run:")]
+    assert len(lines) == 4
+    assert any("--base-network resnet18 --batch-size 32" in l
+               for l in lines)
+    assert any("exp-densenet18-16-run0" in l for l in lines)
