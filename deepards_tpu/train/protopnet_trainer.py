@@ -23,7 +23,12 @@ from deepards_tpu.models.registry import get_base_network
 from deepards_tpu.parallel import mesh as mesh_lib
 from deepards_tpu.train.loader import EpochLoader
 from deepards_tpu.train.loop import Trainer, _pad_batch
-from deepards_tpu.train.steps import TrainState, _maybe_cast
+from deepards_tpu.train.steps import (
+    TrainState,
+    _maybe_cast,
+    make_state_rng,
+    split_state_rng,
+)
 
 STAGES = {"warm": 0, "joint": 1, "last": 2}
 
@@ -179,7 +184,9 @@ class ProtoPNetTrainer(Trainer):
         state = TrainState(
             params=params,
             opt_state=opt_states,
-            rng=jax.random.fold_in(init_rng, 7),
+            rng=make_state_rng(
+                jax.random.fold_in(init_rng, 7), self._rng_impl()
+            ),
             step=jnp.zeros((), jnp.int32),
         )
         state = mesh_lib.replicate_tree(self.mesh, state)
@@ -211,12 +218,14 @@ class ProtoPNetTrainer(Trainer):
             )
             return loss, aux
 
+        rng_impl = self._rng_impl()
+
         def make_step(stage):
             tx = txs[stage]
 
             @functools.partial(jax.jit, donate_argnums=(0,))
             def step(state, batch, mask):
-                rng, drng = jax.random.split(state.rng)
+                rng, drng = split_state_rng(state.rng, rng_impl)
                 (loss, aux), grads = jax.value_and_grad(
                     loss_wrap, has_aux=True
                 )(state.params, batch, mask, drng)
@@ -242,7 +251,7 @@ class ProtoPNetTrainer(Trainer):
 
         @jax.jit
         def eval_step(state, batch, mask):
-            rng, drng = jax.random.split(state.rng)
+            rng, drng = split_state_rng(state.rng, rng_impl)
             data = pipeline(batch["data"])
             logits, min_d = model.apply(
                 {"params": state.params}, data, None, True,
@@ -292,6 +301,10 @@ class ProtoPNetTrainer(Trainer):
 
     def _run_ppnet_epoch(self, state, step, dataset, fold_num, epoch_num,
                          batch_size):
+        if self._device_cache_eligible(dataset, None):
+            return self._run_ppnet_epoch_device(
+                state, step, dataset, fold_num, epoch_num, batch_size
+            )
         loader = EpochLoader(
             dataset, batch_size, shuffle=True, rng=self.host_rng
         )
@@ -310,6 +323,75 @@ class ProtoPNetTrainer(Trainer):
             self.results.update_loss(fold_num, float(loss))
             if self.conf.get("debug"):
                 break
+        return state
+
+    def _run_ppnet_epoch_device(self, state, step, dataset, fold_num,
+                                epoch_num, batch_size):
+        """Whole staged-ppnet epoch in one dispatch over the uploaded
+        cache (mirror of Trainer._run_train_epoch_device_cache; the
+        composite loss aux terms are materialized after the scan)."""
+        conf = self.conf
+        dp = self.mesh.shape[mesh_lib.DATA_AXIS]
+        target = -(-batch_size // dp) * dp
+        idx = np.asarray(dataset.current_indices())
+        perm = self.host_rng.permutation(idx)
+        n = len(perm)
+        steps = -(-n // target)
+        pad = steps * target - n
+        masks = np.ones(steps * target, np.float32)
+        if pad:
+            masks[n:] = 0.0
+            perm = np.concatenate([perm, perm[:pad]])
+        dev = self._get_device_cache(dataset)
+        fns = getattr(self, "_ppnet_epoch_fns", None)
+        if fns is None:
+            fns = self._ppnet_epoch_fns = {}
+        if id(step) not in fns:
+            batch_sh = mesh_lib.batch_sharding(self.mesh)
+
+            def shard(tree):
+                return jax.tree_util.tree_map(
+                    lambda v: jax.lax.with_sharding_constraint(
+                        v, batch_sh
+                    ),
+                    tree,
+                )
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def epoch_scan(state, data, target_arr, perm_d, masks_d):
+                def body(s, xs):
+                    ids, m = xs
+                    batch = shard({
+                        "data": jnp.take(data, ids, axis=0),
+                        "target": jnp.take(target_arr, ids, axis=0),
+                    })
+                    s, loss, aux = step(s, batch, shard(m))
+                    return s, (loss, aux)
+
+                return jax.lax.scan(body, state, (perm_d, masks_d))
+
+            fns[id(step)] = epoch_scan
+        state, (losses, auxs) = fns[id(step)](
+            state, dev["data"], dev["target"],
+            jnp.asarray(perm.reshape(steps, target).astype(np.int32)),
+            jnp.asarray(masks.reshape(steps, target)),
+        )
+        losses = np.asarray(losses)
+        auxs = [np.asarray(a) for a in auxs]
+        for s in range(steps):
+            self.results.update_meter("cls_loss", fold_num,
+                                      float(auxs[0][s]))
+            self.results.update_meter("clst_loss", fold_num,
+                                      float(auxs[1][s]))
+            self.results.update_meter("sep_loss", fold_num,
+                                      float(auxs[2][s]))
+            self.results.update_meter("l1_loss", fold_num,
+                                      float(auxs[3][s]))
+            self.results.update_meter(
+                "loss_epoch_{}".format(epoch_num), fold_num,
+                float(losses[s]),
+            )
+            self.results.update_loss(fold_num, float(losses[s]))
         return state
 
     def push_prototypes(self, state, model, dataset, pipeline, batch_size):
