@@ -77,8 +77,10 @@ class SiameseWindowDataset:
     def current_indices(self):
         return np.arange(len(self), dtype=np.int64)
 
-    def sample_triplets(self, rel_indices):
-        """rel_indices -> (seq, pos, neg) raw window arrays."""
+    def sample_triplet_indices(self, rel_indices):
+        """rel_indices -> (anchor, pos, neg) ABSOLUTE cache indices —
+        the host-cheap half of triplet sampling, so callers can gather
+        the windows on device from an uploaded cache."""
         cache = self.base.cache
         a = self.anchor_idx[rel_indices]
         p = self.pos_idx[rel_indices]
@@ -90,6 +92,12 @@ class SiameseWindowDataset:
                 if int(cache.patient_idx[j]) != own:
                     neg[k] = j
                     break
+        return a, p, neg
+
+    def sample_triplets(self, rel_indices):
+        """rel_indices -> (seq, pos, neg) raw window arrays."""
+        cache = self.base.cache
+        a, p, neg = self.sample_triplet_indices(rel_indices)
         return cache.data[a], cache.data[p], cache.data[neg]
 
     @classmethod

@@ -21,7 +21,12 @@ from deepards_tpu.models.detection2d import (
 )
 from deepards_tpu.parallel import mesh as mesh_lib
 from deepards_tpu.train.loop import Trainer, _pad_batch
-from deepards_tpu.train.steps import TrainState, _maybe_cast
+from deepards_tpu.train.steps import (
+    TrainState,
+    _maybe_cast,
+    make_state_rng,
+    split_state_rng,
+)
 
 
 def band_iou(pred_bands, true_boxes, true_labels):
@@ -55,7 +60,9 @@ class DetectorTrainer(Trainer):
         params = variables["params"]
         state = TrainState(
             params=params, opt_state=tx.init(params),
-            rng=jax.random.fold_in(init_rng, 3),
+            rng=make_state_rng(
+                jax.random.fold_in(init_rng, 3), self._rng_impl()
+            ),
             step=jnp.zeros((), jnp.int32),
         )
         state = mesh_lib.replicate_tree(self.mesh, state)
@@ -74,9 +81,11 @@ class DetectorTrainer(Trainer):
                 logits, row_targets, gamma=gamma, alpha=alpha
             ), logits
 
+        rng_impl = self._rng_impl()
+
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state, data, row_targets):
-            rng, drng = jax.random.split(state.rng)
+            rng, drng = split_state_rng(state.rng, rng_impl)
             (loss, _), grads = jax.value_and_grad(
                 loss_wrap, has_aux=True
             )(state.params, data, row_targets, drng)
@@ -94,7 +103,7 @@ class DetectorTrainer(Trainer):
 
         @jax.jit
         def eval_step(state, data, row_targets):
-            rng, drng = jax.random.split(state.rng)
+            rng, drng = split_state_rng(state.rng, rng_impl)
             loss, logits = loss_wrap(state.params, data, row_targets, drng)
             return state.replace(rng=rng), loss, logits
 

@@ -24,7 +24,12 @@ import optax
 
 from deepards_tpu.parallel import mesh as mesh_lib
 from deepards_tpu.train.loop import Trainer
-from deepards_tpu.train.steps import TrainState, _maybe_cast
+from deepards_tpu.train.steps import (
+    TrainState,
+    _maybe_cast,
+    make_state_rng,
+    split_state_rng,
+)
 
 
 def _bucket(n):
@@ -73,7 +78,9 @@ class NestedTrainer(Trainer):
         params = variables["params"]
         state = TrainState(
             params=params, opt_state=tx.init(params),
-            rng=jax.random.fold_in(init_rng, 5),
+            rng=make_state_rng(
+                jax.random.fold_in(init_rng, 5), self._rng_impl()
+            ),
             step=jnp.zeros((), jnp.int32),
         )
         state = mesh_lib.replicate_tree(self.mesh, state)
@@ -98,9 +105,11 @@ class NestedTrainer(Trainer):
             t = jnp.repeat(target, out.shape[1], axis=0)  # (W, 2)
             return loss_fn(out[0], t, wmask[0]), out
 
+        rng_impl = self._rng_impl()
+
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state, data, target, wmask):
-            rng, drng = jax.random.split(state.rng)
+            rng, drng = split_state_rng(state.rng, rng_impl)
             (loss, _), grads = jax.value_and_grad(
                 loss_wrap, has_aux=True
             )(state.params, data, target, wmask, drng)
@@ -118,7 +127,7 @@ class NestedTrainer(Trainer):
 
         @jax.jit
         def eval_step(state, data, target, wmask):
-            rng, drng = jax.random.split(state.rng)
+            rng, drng = split_state_rng(state.rng, rng_impl)
             loss, out = loss_wrap(state.params, data, target, wmask, drng)
             return state.replace(rng=rng), loss, out
 

@@ -15,7 +15,12 @@ from deepards_tpu.data.pipeline import BatchPipeline
 from deepards_tpu.data.siamese_dataset import SiameseWindowDataset
 from deepards_tpu.parallel import mesh as mesh_lib
 from deepards_tpu.train.loop import Trainer
-from deepards_tpu.train.steps import TrainState, _maybe_cast
+from deepards_tpu.train.steps import (
+    TrainState,
+    _maybe_cast,
+    make_state_rng,
+    split_state_rng,
+)
 
 
 class SiameseTrainer(Trainer):
@@ -69,11 +74,14 @@ class SiameseTrainer(Trainer):
         state = TrainState(
             params=params,
             opt_state=tx.init(params),
-            rng=jax.random.fold_in(init_rng, 3),
+            rng=make_state_rng(
+                jax.random.fold_in(init_rng, 3), self._rng_impl()
+            ),
             step=jnp.zeros((), jnp.int32),
         )
         state = mesh_lib.replicate_tree(self.mesh, state)
         compute_dtype = self.compute_dtype
+        rng_impl = self._rng_impl()
 
         def loss_fn(params, seq, pos, neg, dropout_rng):
             seq = _maybe_cast(pipeline(seq), compute_dtype)
@@ -98,7 +106,7 @@ class SiameseTrainer(Trainer):
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state, seq, pos, neg):
-            rng, drng = jax.random.split(state.rng)
+            rng, drng = split_state_rng(state.rng, rng_impl)
             (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, seq, pos, neg, drng
             )
@@ -111,29 +119,75 @@ class SiameseTrainer(Trainer):
 
         @jax.jit
         def eval_step(state, seq, pos, neg):
-            rng, drng = jax.random.split(state.rng)
+            rng, drng = split_state_rng(state.rng, rng_impl)
             loss, (out_pos, out_neg) = loss_fn(
                 state.params, seq, pos, neg, drng
             )
             return state.replace(rng=rng), loss, out_pos, out_neg
 
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_epoch_scan(state, data_cache, a_ids, p_ids, n_ids):
+            """Whole siamese epoch in one dispatch: triplet INDICES are
+            sampled on host (cheap ints), windows gather on device."""
+
+            def body(s, xs):
+                ai, pi, ni = xs
+                s, loss = _train_body(
+                    s,
+                    jnp.take(data_cache, ai, axis=0),
+                    jnp.take(data_cache, pi, axis=0),
+                    jnp.take(data_cache, ni, axis=0),
+                )
+                return s, loss
+
+            return jax.lax.scan(body, state, (a_ids, p_ids, n_ids))
+
+        def _train_body(state, seq, pos, neg):
+            rng, drng = split_state_rng(state.rng, rng_impl)
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, seq, pos, neg, drng
+            )
+            grads = _maybe_cast(grads, jnp.float32)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            return state.replace(params=params, opt_state=opt_state,
+                                 rng=rng, step=state.step + 1), loss
+
         batch_size = conf.get("batch_size", 16)
         epochs = conf.get("epochs", 10)
+        use_device = self._device_cache_eligible(train_dataset.base, None)
+        if use_device:
+            dev = self._get_device_cache(train_dataset.base)
         for epoch_num in range(1, epochs + 1):
             order = self.host_rng.permutation(len(train_dataset))
             n_batches = len(order) // batch_size
-            for bi in range(max(n_batches, 1)):
-                rel = order[bi * batch_size : (bi + 1) * batch_size]
-                if len(rel) < batch_size:
-                    break
-                seq, pos, neg = train_dataset.sample_triplets(rel)
-                state, loss = train_step(
-                    state, jnp.asarray(seq), jnp.asarray(pos),
-                    jnp.asarray(neg),
+            if use_device and n_batches >= 1 and not conf.get("debug"):
+                a, p, n = train_dataset.sample_triplet_indices(
+                    order[: n_batches * batch_size]
                 )
-                self.results.update_loss(fold_num, float(loss))
-                if conf.get("debug"):
-                    break
+                shape = (n_batches, batch_size)
+                state, losses = train_epoch_scan(
+                    state, dev["data"],
+                    jnp.asarray(a.reshape(shape).astype(np.int32)),
+                    jnp.asarray(p.reshape(shape).astype(np.int32)),
+                    jnp.asarray(n.reshape(shape).astype(np.int32)),
+                )
+                for l in np.asarray(losses):
+                    self.results.update_loss(fold_num, float(l))
+            else:
+                for bi in range(max(n_batches, 1)):
+                    rel = order[bi * batch_size : (bi + 1) * batch_size]
+                    if len(rel) < batch_size:
+                        break
+                    seq, pos, neg = train_dataset.sample_triplets(rel)
+                    state, loss = train_step(
+                        state, jnp.asarray(seq), jnp.asarray(pos),
+                        jnp.asarray(neg),
+                    )
+                    self.results.update_loss(fold_num, float(loss))
+                    if conf.get("debug"):
+                        break
             state = self._siamese_test_epoch(
                 state, eval_step, test_dataset, fold_num, epoch_num,
                 batch_size,
