@@ -22,7 +22,12 @@ import pandas as pd
 
 from deepards_tpu.parallel import mesh as mesh_lib
 from deepards_tpu.train.loop import Trainer, _pad_batch
-from deepards_tpu.train.steps import TrainState, _maybe_cast
+from deepards_tpu.train.steps import (
+    TrainState,
+    _maybe_cast,
+    make_state_rng,
+    split_state_rng,
+)
 
 
 class ParallelFoldTrainer(Trainer):
@@ -75,7 +80,12 @@ class ParallelFoldTrainer(Trainer):
         state = TrainState(
             params=params,
             opt_state=opt_state,
-            rng=jax.random.split(jax.random.fold_in(init_rng, 9), n_folds),
+            rng=jnp.stack([
+                make_state_rng(k, self._rng_impl())
+                for k in jax.random.split(
+                    jax.random.fold_in(init_rng, 9), n_folds
+                )
+            ]),
             step=jnp.zeros((n_folds,), jnp.int32),
         )
 
@@ -91,6 +101,8 @@ class ParallelFoldTrainer(Trainer):
                     data != 0, (data - mu_b) / std_b, data / std_b
                 )
             return (data - mu_b) / std_b
+
+        rng_impl = self._rng_impl()
 
         def fold_loss(params, data, target, mask, mu, std, rng):
             data = normalize(data, mu, std)
@@ -110,7 +122,7 @@ class ParallelFoldTrainer(Trainer):
 
         def fold_train_step(params, opt_state, rng, data, target, mask,
                             mu, std):
-            rng, drng = jax.random.split(rng)
+            rng, drng = split_state_rng(rng, rng_impl)
             (loss, _), grads = jax.value_and_grad(
                 fold_loss, has_aux=True
             )(params, data, target, mask, mu, std, drng)
@@ -156,7 +168,7 @@ class ParallelFoldTrainer(Trainer):
         @jax.jit
         def eval_step_all(state, data, target, mask):
             def one(params, rng, data, target, mask, mu, std):
-                rng, drng = jax.random.split(rng)
+                rng, drng = split_state_rng(rng, rng_impl)
                 loss, out = fold_loss(
                     params, data, target, mask, mu, std, drng
                 )
