@@ -656,7 +656,84 @@ class Trainer:
             )
             return state.replace(rng=rng), loss, logits, new_carry
 
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_epoch_scan(state, dev, ids, resets, carry0):
+            def body(c, xs):
+                s, carry = c
+                i, reset = xs
+                batch = {
+                    k: jnp.take(v, i[None], axis=0) for k, v in dev.items()
+                }
+                carry = jax.tree_util.tree_map(
+                    lambda z: jnp.where(reset, jnp.zeros_like(z), z), carry
+                )
+                s, loss, carry = train_step(s, batch, carry)
+                return (s, carry), loss
+
+            (state, _), losses = jax.lax.scan(
+                body, (state, carry0), (ids, resets)
+            )
+            return state, losses
+
+        @jax.jit
+        def eval_epoch_scan(state, dev, ids, resets, carry0):
+            def body(c, xs):
+                s, carry = c
+                i, reset = xs
+                batch = {
+                    k: jnp.take(v, i[None], axis=0) for k, v in dev.items()
+                }
+                carry = jax.tree_util.tree_map(
+                    lambda z: jnp.where(reset, jnp.zeros_like(z), z), carry
+                )
+                s, loss, logits, carry = eval_step(s, batch, carry)
+                return (s, carry), (loss, logits)
+
+            (state, _), out = jax.lax.scan(
+                body, (state, carry0), (ids, resets)
+            )
+            return state, out
+
+        def run_epoch_device(state, dataset, train, fold_num, epoch_num):
+            """Stateful epoch in ONE dispatch: the patient-ordered window
+            sequence scans on device; a reset flag zeroes the LSTM carry
+            at patient boundaries (B=1 host stepping otherwise pays a
+            full dispatch round trip per window)."""
+            gt = dataset.get_ground_truth_df()
+            order = gt.index.to_numpy()
+            pts = gt.loc[order].patient.to_numpy()
+            resets = np.ones(len(order), bool)
+            resets[1:] = pts[1:] != pts[:-1]
+            dev = self._get_device_cache(dataset)
+            sample = dataset.gather(order[:1])
+            carry0 = self._zero_carry(model, sample)
+            ids = jnp.asarray(order.astype(np.int32))
+            resets_d = jnp.asarray(resets)
+            if train:
+                state, losses = train_epoch_scan(
+                    state, dev, ids, resets_d, carry0
+                )
+                for l in np.asarray(losses):
+                    self.results.update_loss(fold_num, float(l))
+                return state
+            state, (losses, logits) = eval_epoch_scan(
+                state, dev, ids, resets_d, carry0
+            )
+            for l in np.asarray(losses):
+                self.results.update_meter("test_loss", fold_num, float(l))
+            out = np.asarray(logits)  # (n, 1, S, 2)
+            preds = out.argmax(axis=-1).reshape(-1).tolist()
+            pred_idx = np.repeat(order, out.shape[2]).tolist()
+            self.record_classifier_results(
+                preds, pred_idx, dataset, fold_num, epoch_num
+            )
+            return state
+
         def run_epoch(state, dataset, train, fold_num, epoch_num):
+            if self._device_cache_eligible(dataset, None):
+                return run_epoch_device(
+                    state, dataset, train, fold_num, epoch_num
+                )
             gt = dataset.get_ground_truth_df()
             order = gt.index.to_numpy()  # patient-ordered
             last_pt = None

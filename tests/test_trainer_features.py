@@ -375,3 +375,40 @@ def test_device_cache_epoch_matches_host_path(synthetic_cohort, tmp_path):
     # steps tightly and the epoch statistics loosely
     np.testing.assert_allclose(dev[:5], host[:5], rtol=1e-4, atol=1e-5)
     assert abs(float(np.mean(dev)) - float(np.mean(host))) < 0.02
+
+
+def test_stateful_device_epoch_matches_host(synthetic_cohort, tmp_path):
+    """The scanned stateful epoch (carry reset at patient boundaries)
+    must reproduce the host per-window loop's early losses exactly."""
+    import numpy as np
+
+    from deepards_tpu.config import Configuration
+    from deepards_tpu.train.loop import make_trainer
+
+    def run(flag, d):
+        conf = Configuration(overrides=dict(
+            data_path=synthetic_cohort["data_path"],
+            cohort_file=synthetic_cohort["cohort_file"],
+            experiment_num=1,
+            network="cnn_lstm",
+            base_network="densenet18",
+            dataset_type="unpadded_centered_sequences",
+            n_sub_batches=2,
+            kfolds=2,
+            only_fold=0,
+            epochs=1,
+            batch_size=1,
+            unshuffled=True,
+            compute_dtype="float32",
+            results_dir=str(d),
+            seed=13,
+            device_cache=flag,
+        ))
+        t = make_trainer(conf, verbose=False)
+        t.train_and_test()
+        return list(t.results.get_meter("loss", 0).values)
+
+    dev = run(True, tmp_path / "dev")
+    host = run(False, tmp_path / "host")
+    assert len(dev) == len(host) > 0
+    np.testing.assert_allclose(dev[:5], host[:5], rtol=1e-4, atol=1e-5)
