@@ -69,7 +69,9 @@ class DenseNet2D(nn.Module):
     block_config: Sequence[int] = (2, 2, 2, 2)
     num_init_features: int = 64
     bn_size: int = 4
-    drop_rate: float = 0.2
+    # the reference's 2D variant defaults dropout OFF, unlike the 1D one
+    # (reference: densenet2d.py:166 drop_rate = 0)
+    drop_rate: float = 0.0
     block_kernel: Tuple[int, int] = (3, 3)
     network_name: str = "densenet18_2d"
 

@@ -374,3 +374,118 @@ def test_cnn_lstm_end_to_end_parity(ref_densenet):
     np.testing.assert_allclose(
         np.asarray(out), ref_logits.numpy(), atol=1e-4, rtol=1e-4
     )
+
+
+def test_se_resnet18_forward_parity():
+    """Reference se_resnet18 weights -> SENet1D: pooled features match
+    (reference: models/senet.py:15-69, 171-330, 343)."""
+    ref_senet = _load_ref("ref_senet", "senet.py")
+    from deepards_tpu.models.senet1d import se_resnet18
+
+    torch.manual_seed(7)
+    tnet = ref_senet.se_resnet18()
+    tnet.train()  # batch-stat norm; se_resnet has no dropout
+
+    model = se_resnet18()
+    layer0 = tnet.layer0
+    params = {
+        "Conv1d_0": _conv_tree(layer0.conv1.weight),
+        "BatchStatNorm_0": _t2f_norm(layer0.bn1),
+    }
+    bi = 0
+    for layer_idx in range(1, 5):
+        layer = getattr(tnet, "layer{}".format(layer_idx))
+        for block in layer:
+            tree = {
+                "Conv1d_0": _conv_tree(block.conv1.weight),
+                "BatchStatNorm_0": _t2f_norm(block.bn1),
+                "Conv1d_1": _conv_tree(block.conv2.weight),
+                "BatchStatNorm_1": _t2f_norm(block.bn2),
+                "SEModule_0": {
+                    "Conv1d_0": {"Conv_0": {
+                        "kernel": _t2f_conv(block.se_module.fc1.weight),
+                        "bias": jnp.asarray(
+                            block.se_module.fc1.bias.detach().numpy()
+                        ),
+                    }},
+                    "Conv1d_1": {"Conv_0": {
+                        "kernel": _t2f_conv(block.se_module.fc2.weight),
+                        "bias": jnp.asarray(
+                            block.se_module.fc2.bias.detach().numpy()
+                        ),
+                    }},
+                },
+            }
+            if block.downsample is not None:
+                tree["Conv1d_2"] = _conv_tree(block.downsample[0].weight)
+                tree["BatchStatNorm_2"] = _t2f_norm(block.downsample[1])
+            params["SEBasicBlock_{}".format(bi)] = tree
+            bi += 1
+    x = np.random.default_rng(7).normal(size=(10, 1, 224)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        ref_out = tnet(torch.from_numpy(x)).numpy()
+    out = model.apply({"params": params}, jnp.asarray(x), True)
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-4,
+                               rtol=1e-4)
+
+
+def test_densenet18_2d_feature_parity():
+    """Reference 2D densenet18 weights -> DenseNet2D: pre-pool feature
+    maps match (the reference 2D backbone's forward IS the feature map,
+    densenet2d.py:239-241)."""
+    ref_d2 = _load_ref("ref_densenet2d", "densenet2d.py")
+    from deepards_tpu.models.densenet2d import densenet18_2d
+
+    torch.manual_seed(8)
+    tnet = ref_d2.densenet18()
+    tnet.train()  # batch stats; drop_rate defaults 0 -> no dropout
+
+    model = densenet18_2d()
+
+    def conv2d_tree(w):
+        # torch (out, in, kh, kw) -> flax (kh, kw, in, out)
+        return {"Conv_0": {"kernel": jnp.asarray(
+            np.transpose(w.detach().numpy(), (2, 3, 1, 0))
+        )}}
+
+    f = tnet.features
+    params = {
+        "Conv_0": conv2d_tree(f.conv0.weight)["Conv_0"],
+        "BatchStatNorm_0": _t2f_norm(f.norm0),
+        "BatchStatNorm_1": _t2f_norm(f.norm5),
+    }
+    li = 0
+    for bi, n_layers in enumerate((2, 2, 2, 2)):
+        block = getattr(f, "denseblock{}".format(bi + 1))
+        for k in range(n_layers):
+            dl = getattr(block, "denselayer{}".format(k + 1))
+            params["DenseLayer2D_{}".format(li)] = {
+                "BatchStatNorm_0": _t2f_norm(dl.norm1),
+                "Conv_0": conv2d_tree(dl.conv1.weight)["Conv_0"],
+                "BatchStatNorm_1": _t2f_norm(dl.norm2),
+                "Conv_1": conv2d_tree(dl.conv2.weight)["Conv_0"],
+            }
+            li += 1
+        if bi != 3:
+            tr = getattr(f, "transition{}".format(bi + 1))
+            params["Transition2D_{}".format(bi)] = {
+                "BatchStatNorm_0": _t2f_norm(tr.norm),
+                "Conv_0": conv2d_tree(tr.conv.weight)["Conv_0"],
+            }
+
+    x = np.random.default_rng(8).normal(size=(2, 1, 64, 64)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        ref_fmap = tnet(torch.from_numpy(x)).numpy()  # (N, C, H, W)
+    fmap = model.apply(
+        {"params": params}, jnp.asarray(x), True,
+        rngs={"dropout": jax.random.PRNGKey(0)},
+        method=lambda m, xx, det: m.forward_no_pool(xx, det),
+    )
+    np.testing.assert_allclose(
+        np.asarray(fmap).transpose(0, 3, 1, 2), ref_fmap,
+        atol=1e-4, rtol=1e-4,
+    )
