@@ -105,6 +105,53 @@ def fractional_training_curve(conf_builder, fractions=(0.025, 0.05, 0.1,
     return pd.DataFrame(rows)
 
 
+def pt_diffs(dl_patient_frames, rf_frame, final_epoch=None,
+             majority_of_n=None):
+    """Which patients does the DL model fix that the RF misclassifies?
+
+    Reimplements the reference's cross-model misprediction drill-down
+    (reference: aim2_dl_v_rf_compr/dl_rf_pt_diffs.py:10-38): count
+    per-patient mispredictions across N DL runs (final epoch only) and
+    across the RF results, then report the patients the DL gets right a
+    majority of the time while the RF gets them wrong a majority of the
+    time.
+    """
+    frames = []
+    for i, df in enumerate(dl_patient_frames):
+        df = df.copy()
+        df["model_num"] = i
+        frames.append(df)
+    dl = pd.concat(frames, ignore_index=True)
+    if final_epoch is None:
+        final_epoch = dl.epoch_num.max()
+    dl = dl[dl.epoch_num == final_epoch]
+    n_models = dl.model_num.nunique()
+    if majority_of_n is None:
+        majority_of_n = n_models / 2.0
+
+    dl_mispreds = dl[dl.patho != dl.prediction].patient.value_counts()
+    rf_mispreds = rf_frame[
+        rf_frame.patho != rf_frame.prediction].patient.value_counts()
+    common = sorted(set(dl_mispreds.index) & set(rf_mispreds.index))
+    improved = [
+        pt for pt in rf_mispreds.index
+        if dl_mispreds.get(pt, 0) < majority_of_n
+    ]
+    regressed = [
+        pt for pt in dl_mispreds.index
+        if dl_mispreds[pt] >= majority_of_n and pt not in rf_mispreds.index
+    ]
+    detail = dl[dl.patient.isin(improved)].groupby("patient").first()
+    return {
+        "dl_mispreds": dl_mispreds,
+        "rf_mispreds": rf_mispreds,
+        "common_mispreds": common,
+        "improved_pts": improved,
+        "regressed_pts": regressed,
+        "improved_detail": detail,
+    }
+
+
 def plot_roc_curves(dl_frame, rf_frame, out_path="roc-dl-ml.png"):
     """(reference: plot_roc_curves.py -> roc-dl-ml.png)"""
     import matplotlib
@@ -130,10 +177,34 @@ def plot_roc_curves(dl_frame, rf_frame, out_path="roc-dl-ml.png"):
 
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="deepards-dl-vs-rf")
-    parser.add_argument("--train-from-pickle", required=True)
-    parser.add_argument("--fold", type=int, default=0)
-    parser.add_argument("--n-estimators", type=int, default=100)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    rf = sub.add_parser("rf", help="train+vote a breath-meta RF baseline")
+    rf.add_argument("--train-from-pickle", required=True)
+    rf.add_argument("--fold", type=int, default=0)
+    rf.add_argument("--n-estimators", type=int, default=100)
+
+    diffs = sub.add_parser(
+        "pt-diffs",
+        help="patients the DL runs fix vs the RF (reference "
+             "aim2_dl_v_rf_compr/dl_rf_pt_diffs.py)")
+    diffs.add_argument("rf_results", help="RF patient frame pickle")
+    diffs.add_argument("dl_results", nargs="+",
+                       help="*_patient_results.pkl paths, one per DL run")
     args = parser.parse_args(argv)
+
+    if args.command == "pt-diffs":
+        dl_frames = [pd.read_pickle(p) for p in args.dl_results]
+        rf_frame = pd.read_pickle(args.rf_results)
+        out = pt_diffs(dl_frames, rf_frame)
+        print("DL improves on {} patients the RF misclassifies:".format(
+            len(out["improved_pts"])))
+        for pt in out["improved_pts"]:
+            print("  ", pt)
+        if len(out["improved_detail"]):
+            print(out["improved_detail"][
+                ["patho", "prediction", "pred_frac"]].to_string())
+        return
 
     from deepards_tpu.data.dataset import ARDSRawDataset
 

@@ -156,7 +156,15 @@ class IEWindowWarpingIEProgrammable(IEWindowWarpingBase):
 
 def build_transforms(names, probability, use_i=False):
     """Compose transforms from CLI names
-    (reference: train_ards_detector.py:175-187)."""
+    (reference: train_ards_detector.py:175-187).
+
+    ``names`` may be a list (CLI nargs) or a single string (reference
+    yml files write ``transforms: ie_ww_i_or_e``); a bare string must
+    become a one-element list or the membership tests below degrade to
+    substring matches ("ie_ww" in "ie_ww_i_or_e" is True).
+    """
+    if isinstance(names, str):
+        names = [names]
     transforms = []
     if "ie_ww" in names:
         transforms.append(IEWindowWarping(0.5, 2, probability))

@@ -171,8 +171,37 @@ class RandomWindowWarping(_RandomTransform):
         return window_warp(x, rng, self.window_ratio, self.scales)
 
 
+class RandomErasing(_RandomTransform):
+    """Zero out a random rectangle (torchvision RandomErasing semantics;
+    the reference's rand_erase experiment yml names this transform even
+    though reference dataset.py:330-340 dropped it from the registry —
+    kept here so that experiment file stays loadable)."""
+
+    def __init__(self, p=0.5, scale=(0.02, 0.33), ratio=(0.3, 3.3)):
+        super().__init__(p)
+        self.scale = scale
+        self.ratio = ratio
+
+    def apply(self, x, rng):
+        c, h, w = x.shape
+        area = h * w
+        for _ in range(10):
+            target = rng.uniform(*self.scale) * area
+            aspect = np.exp(rng.uniform(np.log(self.ratio[0]),
+                                        np.log(self.ratio[1])))
+            eh = int(round(np.sqrt(target * aspect)))
+            ew = int(round(np.sqrt(target / aspect)))
+            if eh < h and ew < w:
+                i = rng.integers(0, h - eh + 1)
+                j = rng.integers(0, w - ew + 1)
+                x[:, i:i + eh, j:j + ew] = 0.0
+                return x
+        return x
+
+
 # (reference: dataset.py:330-340)
 two_dim_transforms = {
+    "rand_erase": RandomErasing,
     "row_shuffle": RowShuffle,
     "row_horiz_flip": RandomRowHorizontalFlip,
     "horiz_flip": RandomHorizontalFlip,

@@ -169,3 +169,55 @@ def test_run_experiments_grid_sweep(capsys):
     assert any("--base-network resnet18 --batch-size 32" in l
                for l in lines)
     assert any("exp-densenet18-16-run0" in l for l in lines)
+
+
+def test_dataset_figs_cli(synthetic_cohort, tmp_path):
+    """main_graph-style window/filter figures
+    (reference: aim2_dl_v_rf_compr/main_graph_code.py)."""
+    from deepards_tpu.cli.dataset_figs import generate_all
+    from deepards_tpu.data.dataset import ARDSRawDataset
+
+    ds = ARDSRawDataset(
+        synthetic_cohort["data_path"], 1, synthetic_cohort["cohort_file"],
+        n_sub_batches=2, dataset_type="unpadded_centered_sequences",
+        kfold_num=0, total_kfolds=2,
+    )
+    written = generate_all(ds, str(tmp_path), n_examples=2)
+    # 2 window figs + 5 butter + 3 fft + 2 downsample
+    assert len(written) == 12
+    for path in written:
+        assert os.path.exists(path) and os.path.getsize(path) > 0
+
+
+def test_dl_vs_rf_pt_diffs():
+    """Cross-model misprediction drill-down
+    (reference: aim2_dl_v_rf_compr/dl_rf_pt_diffs.py)."""
+    from deepards_tpu.cli.dl_vs_rf import pt_diffs
+
+    def dl_frame(preds):
+        return pd.DataFrame({
+            "patient": list(preds),
+            "patho": [1, 1, 0, 0],
+            "prediction": list(preds.values()),
+            "epoch_num": 9,
+            "fold_num": 0,
+        })
+
+    # 3 DL runs: ptA always right, ptB wrong once, ptC always wrong,
+    # ptD always right
+    runs = [
+        dl_frame({"A": 1, "B": 1, "C": 1, "D": 0}),
+        dl_frame({"A": 1, "B": 0, "C": 1, "D": 0}),
+        dl_frame({"A": 1, "B": 1, "C": 1, "D": 0}),
+    ]
+    rf = pd.DataFrame({
+        "patient": ["A", "B", "C", "D"],
+        "patho": [1, 1, 0, 0],
+        "prediction": [0, 0, 1, 0],  # RF misses A, B, C
+    })
+    out = pt_diffs(runs, rf)
+    # DL fixes A (0 mispreds) and B (1 misprediction < majority 1.5);
+    # C is wrong in every DL run too
+    assert set(out["improved_pts"]) == {"A", "B"}
+    assert "C" in out["common_mispreds"]
+    assert out["regressed_pts"] == []

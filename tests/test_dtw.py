@@ -147,3 +147,53 @@ def test_undersampler_integration(synthetic_cohort):
     ds.set_kfold_indexes_for_fold(0)
     after = len(ds.current_indices())
     assert after < before
+
+
+def test_hetero_split_generation_and_breakdown(synthetic_cohort, tmp_path):
+    """Train-similar/test-sim+dissim splits + per-group stat breakdown
+    (reference: scripts/hetero/train_sim_test_sim_dissim.py)."""
+    import pandas as pd
+    import yaml
+
+    from deepards_tpu.cli.sim_dissim import (
+        generate_hetero_splits,
+        sim_dissim_breakdown,
+    )
+    from deepards_tpu.data.dataset import ARDSRawDataset
+
+    ds = ARDSRawDataset(
+        synthetic_cohort["data_path"], 1, synthetic_cohort["cohort_file"],
+        n_sub_batches=2, dataset_type="unpadded_centered_sequences",
+        kfold_num=0, total_kfolds=2,
+    )
+    written = generate_hetero_splits(
+        ds, str(tmp_path), n_splits=2, train_n=2, test_n=1,
+        mean_similarity_thresh=1.0, seed=3,
+    )
+    assert len(written) == 2
+    with open(written[0]) as f:
+        split = yaml.safe_load(f)
+    assert set(split) == {"train", "test", "similar", "dissimilar"}
+    # test groups are disjoint from train and from each other
+    assert not set(split["train"]) & set(split["test"])
+    assert not set(split["similar"]) & set(split["dissimilar"])
+    assert set(split["test"]) == set(split["similar"]) | set(
+        split["dissimilar"])
+
+    # breakdown over a fabricated patient-results frame
+    from deepards_tpu.eval.metrics import DeepARDSResults
+
+    res = DeepARDSResults(0, "hetero_test", results_dir=str(tmp_path),
+                          testing=True)
+    gt = ds.get_ground_truth_df()
+    test_pts = split["test"]
+    sub = gt[gt.patient.astype(str).isin(test_pts)]
+    preds = pd.Series(sub.y.values, index=sub.index)  # perfect predictions
+    res.perform_patient_predictions(sub, preds, 0, 0, verbose=False)
+    frames = sim_dissim_breakdown(res.results, split)
+    assert frames
+    for kind, stats in frames.items():
+        assert (stats.group == kind).all()
+        row = stats[stats.patho == "ARDS"]
+        if len(row) and not pd.isna(row.iloc[0].accuracy):
+            assert row.iloc[0].accuracy == 1.0
