@@ -62,6 +62,17 @@ PEAK_TFLOPS = (
     ("TPU v6", 918.0),
 )
 
+# HBM bandwidth GB/s per chip.  For these small-channel 1D conv nets the
+# bottleneck is HBM, not the MXU — bandwidth utilization is the honest
+# "speed of light" figure, and MFU is reported alongside for reference.
+PEAK_HBM_GBPS = (
+    ("TPU v5 lite", 819.0),
+    ("TPU v5e", 819.0),
+    ("TPU v5p", 2765.0),
+    ("TPU v4", 1228.0),
+    ("TPU v6", 1640.0),
+)
+
 CONFIG_NAMES = {
     1: "cnn_linear_unpadded_centered_nb20",
     2: "resnet18_padded_breath_by_breath_kfold5_vmapped",
@@ -72,30 +83,29 @@ CONFIG_NAMES = {
 }
 
 
-def _chip_peak_tflops():
+def _chip_peak(table):
     try:
         kind = jax.devices()[0].device_kind
     except Exception:
         return None
-    for sub, peak in PEAK_TFLOPS:
+    for sub, peak in table:
         if sub.lower() in kind.lower():
             return peak
-    if jax.devices()[0].platform == "cpu":
-        return None
     return None
 
 
 def _step_flops(step_fn, *args):
-    """Compiled-HLO flop count for ONE step program (None if the backend
-    does not expose cost analysis).  Probed on the un-scanned step because
-    XLA cost analysis counts a scan body once, not per trip."""
+    """Compiled-HLO (flops, bytes accessed) for ONE step program (None if
+    the backend does not expose cost analysis).  Probed on the un-scanned
+    step because XLA cost analysis counts a scan body once, not per trip."""
     try:
         cost = jax.jit(step_fn).lower(*args).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        return float(cost["flops"])
+        b = cost.get("bytes accessed")
+        return float(cost["flops"]), (float(b) if b is not None else None)
     except Exception:
-        return None
+        return None, None
 
 
 def _force(x):
@@ -201,8 +211,8 @@ def _standard_config(model, loss_fn, target_mode, batch=BATCH,
     )
     one_batch = {k: jnp.asarray(v) for k, v in sample.items()}
     one_mask = jnp.ones(batch, jnp.float32)
-    f_train = _step_flops(train_step, state, one_batch, one_mask)
-    f_eval = _step_flops(eval_step, state, one_batch, one_mask)
+    f_train, b_train = _step_flops(train_step, state, one_batch, one_mask)
+    f_eval, b_eval = _step_flops(eval_step, state, one_batch, one_mask)
     key = jax.random.PRNGKey(1)
 
     def make_stacked(n):
@@ -213,12 +223,12 @@ def _standard_config(model, loss_fn, target_mode, batch=BATCH,
             ),
         )
 
-    return state, train_scan, eval_scan, make_stacked, batch, (f_train,
-                                                               f_eval)
+    return (state, train_scan, eval_scan, make_stacked, batch,
+            (f_train, f_eval), (b_train, b_eval))
 
 
 def _measure_train_eval(state, train_scan, eval_scan, make_stacked,
-                        seqs_per_step, step_flops, n_steps):
+                        seqs_per_step, step_flops, step_bytes, n_steps):
     tb = ScanBench(train_scan, state, make_stacked, n_steps)
     t_train, lin_train = tb.run()
     eb = ScanBench(eval_scan, tb.state, make_stacked, n_steps,
@@ -227,9 +237,15 @@ def _measure_train_eval(state, train_scan, eval_scan, make_stacked,
     total_seqs = 2 * (2 * n_steps) * seqs_per_step
     total_time = t_train + t_eval
     f_train, f_eval = step_flops
+    b_train, b_eval = step_bytes
     flops = (
         (f_train + f_eval) * 2 * n_steps
         if f_train is not None and f_eval is not None
+        else None
+    )
+    hbm_bytes = (
+        (b_train + b_eval) * 2 * n_steps
+        if b_train is not None and b_eval is not None
         else None
     )
     return {
@@ -237,6 +253,7 @@ def _measure_train_eval(state, train_scan, eval_scan, make_stacked,
         "time": total_time,
         "linearity": (lin_train + lin_eval) / 2,
         "flops": flops,
+        "hbm_bytes": hbm_bytes,
     }
 
 
@@ -259,12 +276,14 @@ def config3():
     from deepards_tpu.models.heads import CNNRegressor
     from deepards_tpu.train import losses as loss_lib
 
-    # bm pretraining: batch 64, single-breath windows, 9 regression targets
+    # bm pretraining: single-breath windows, 9 regression targets; batch
+    # 128 matches the reference's own pretraining launcher
+    # (reference: scripts/main/preprocess_breath_meta_models.py:15 bs=128)
     model = CNNRegressor(breath_block=densenet18(), n_outputs=9)
     return _measure_train_eval(
         *_standard_config(
-            model, loss_lib.mse, "regression", batch=64, windows=1,
-            target_shape=(64, 9),
+            model, loss_lib.mse, "regression", batch=128, windows=1,
+            target_shape=(128, 9),
         ),
         n_steps=STEPS_BY_CONFIG[3],
     )
@@ -384,11 +403,11 @@ def config2():
     n_steps = STEPS_BY_CONFIG[2]
     one, one_masks = make_stacked(1)
     one_b = {k: v[0] for k, v in one.items()}
-    f_train = _step_flops(
+    f_train, b_train = _step_flops(
         lambda s, b, m: vstep(s[0], s[1], s[2], b["data"], b["target"], m),
         state, one_b, one_masks[0],
     )
-    f_eval = _step_flops(
+    f_eval, b_eval = _step_flops(
         lambda s, b, m: veval(s[0], s[2], b["data"], b["target"], m),
         state, one_b, one_masks[0],
     )
@@ -403,11 +422,17 @@ def config2():
         if f_train is not None and f_eval is not None
         else None
     )
+    hbm_bytes = (
+        (b_train + b_eval) * 2 * n_steps
+        if b_train is not None and b_eval is not None
+        else None
+    )
     return {
         "seqs_per_sec": total_seqs / (t_train + t_eval),
         "time": t_train + t_eval,
         "linearity": (lin_train + lin_eval) / 2,
         "flops": flops,
+        "hbm_bytes": hbm_bytes,
     }
 
 
@@ -476,7 +501,7 @@ def config5():
 
     n_steps = STEPS_BY_CONFIG[5]
     one, one_masks = make_stacked(1)
-    f_train = _step_flops(
+    f_train, b_train = _step_flops(
         lambda p, d, t, m: loss_wrap(p, d, t, m, jax.random.PRNGKey(0)),
         params, one["data"][0], one["target"][0], one_masks[0],
     )
@@ -493,18 +518,25 @@ def config5():
         sample, None, True,
     )
     cam = MaxMinNormCam(cam_model, cam_vars["params"])
+    # sustained cam throughput: a whole test fold's worth of sequences in
+    # one batched dispatch, median-of-3 so the ~30ms tunnel round trip
+    # does not masquerade as compute (same validity posture as the scans)
+    n_explained = BATCH * 8
     x_seqs = np.asarray(
-        np.random.default_rng(0).normal(size=(BATCH, WINDOWS, 1, LEN)),
+        np.random.default_rng(0).normal(size=(n_explained, WINDOWS, 1, LEN)),
         np.float32,
     )
-    targets = np.ones(BATCH, np.int32)
+    targets = np.ones(n_explained, np.int32)
     cam.generate_read_cams_batch(x_seqs, targets)  # compile
-    t0 = time.perf_counter()
-    cams, _ = cam.generate_read_cams_batch(x_seqs, targets)
-    assert cams.shape[0] == BATCH
-    t_cam = time.perf_counter() - t0
 
-    total_seqs = (2 * n_steps) * BATCH + BATCH  # train + explained seqs
+    def cam_pass():
+        cams, _ = cam.generate_read_cams_batch(x_seqs, targets)
+        assert cams.shape[0] == n_explained
+        return float(np.asarray(cams).sum())  # forced host fetch
+
+    t_cam = _median_time(cam_pass)
+
+    total_seqs = (2 * n_steps) * BATCH + n_explained  # train + explained
     # fwd-only flops ~3x less than train; train-loss flops per step stands
     # in for the full step (conservative: opt/grad flops uncounted)
     flops = f_train * 2 * n_steps if f_train is not None else None
@@ -513,6 +545,8 @@ def config5():
         "time": t_train + t_cam,
         "linearity": lin_train,
         "flops": flops,  # cam pass flops not counted (conservative)
+        "hbm_bytes": (b_train * 2 * n_steps
+                      if b_train is not None else None),
     }
 
 
@@ -593,6 +627,7 @@ def config6():
         "time": t1,
         "linearity": None,
         "flops": None,
+        "hbm_bytes": None,
     }
 
 
@@ -735,7 +770,7 @@ def main():
             .format(res["linearity"])
         )
 
-    peak = _chip_peak_tflops()
+    peak = _chip_peak(PEAK_TFLOPS)
     implied_tflops = (
         res["flops"] / res["time"] / 1e12 if res["flops"] else None
     )
@@ -748,6 +783,20 @@ def main():
                 "bf16 peak — measurement artifact; refusing to report"
                 .format(implied_tflops, peak)
             )
+    peak_bw = _chip_peak(PEAK_HBM_GBPS)
+    implied_gbps = (
+        res["hbm_bytes"] / res["time"] / 1e9
+        if res.get("hbm_bytes") else None
+    )
+    hbm_util = None
+    if implied_gbps is not None and peak_bw is not None:
+        # "bytes accessed" is XLA's logical traffic: fusion keeps part of
+        # it in VMEM, so a ratio >1.0 means "the program moves more
+        # logical bytes per second than HBM can physically serve", i.e.
+        # the kernel is running at-or-past the naive bandwidth speed of
+        # light thanks to fusion.  Reported raw, not capped — the flops
+        # peak above remains the hard validity gate.
+        hbm_util = implied_gbps / peak_bw
 
     baseline = None
     if os.path.exists(baseline_file):
@@ -774,6 +823,12 @@ def main():
             round(implied_tflops, 2) if implied_tflops is not None else None
         ),
         "mfu_vs_bf16_peak": round(mfu, 4) if mfu is not None else None,
+        "implied_hbm_gbps": (
+            round(implied_gbps, 1) if implied_gbps is not None else None
+        ),
+        "hbm_logical_traffic_ratio": (
+            round(hbm_util, 4) if hbm_util is not None else None
+        ),
         "baseline_note": (
             "torch-CPU reference per-sample loop measured on this host "
             "(1 CPU core)"

@@ -84,6 +84,18 @@ class GradCam:
         # pays a full device round trip per sequence)
         self._batch_grad = jax.jit(jax.vmap(_one_seq))
 
+        def _one_seq_cam(x, target):
+            # cam reduction ON DEVICE: fetching raw (S, L', C) fmaps+grads
+            # for a whole batch moves hundreds of MB through the chip
+            # tunnel (measured 0.9s for 128 sequences); the reduced
+            # (S, L') cams are ~800x smaller
+            fmap, grads, out = _one_seq(x, target)
+            weights = grads.mean(axis=1)  # (S, C): mean over L'
+            cam = (fmap * weights[:, None, :]).sum(axis=-1)  # (S, L')
+            return cam, out
+
+        self._batch_cam = jax.jit(jax.vmap(_one_seq_cam))
+
     def _head_dense_params(self):
         dense_keys = sorted(
             k for k in self.params
@@ -126,11 +138,8 @@ class MaxMinNormCam(GradCam):
         cams + (B, 2) outputs."""
         xs = jnp.asarray(xs, jnp.float32)
         targets = jnp.asarray(targets)
-        fmaps, grads, outs = self._batch_grad(xs, targets)
-        conv = np.asarray(fmaps).transpose(0, 1, 3, 2)  # (B,S,C,L')
-        grad = np.asarray(grads).transpose(0, 1, 3, 2)
-        weights = grad.mean(axis=3)  # (B,S,C)
-        cams = (weights[..., None] * conv).sum(axis=2)  # (B,S,L')
+        cams, outs = self._batch_cam(xs, targets)
+        cams = np.asarray(cams)  # (B, S, L') — small host fetch
         normed = np.stack([
             np.stack([self.normalize(c) for c in seq_cams])
             for seq_cams in cams
@@ -204,12 +213,8 @@ class UnNormalizedCam(GradCam):
     def generate_read_cams_batch(self, xs, targets):
         """(B, S, C, L) -> (B, S, L') unnormalized cams, one dispatch."""
         xs = jnp.asarray(xs, jnp.float32)
-        fmaps, grads, outs = self._batch_grad(xs, jnp.asarray(targets))
-        conv = np.asarray(fmaps).transpose(0, 1, 3, 2)
-        grad = np.asarray(grads).transpose(0, 1, 3, 2)
-        weights = grad.mean(axis=3)
-        cams = (weights[..., None] * conv).sum(axis=2)
-        return np.maximum(0, cams), np.asarray(outs)
+        cams, outs = self._batch_cam(xs, jnp.asarray(targets))
+        return np.maximum(0, np.asarray(cams)), np.asarray(outs)
 
 
 def upsample_cam(cam, target_len=224):
