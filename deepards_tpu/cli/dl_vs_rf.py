@@ -105,46 +105,55 @@ def fractional_training_curve(conf_builder, fractions=(0.025, 0.05, 0.1,
     return pd.DataFrame(rows)
 
 
-def pt_diffs(dl_patient_frames, rf_frame, final_epoch=None,
-             majority_of_n=None):
+def pt_diffs(dl_patient_frames, rf_frame):
     """Which patients does the DL model fix that the RF misclassifies?
 
     Reimplements the reference's cross-model misprediction drill-down
-    (reference: aim2_dl_v_rf_compr/dl_rf_pt_diffs.py:10-38): count
-    per-patient mispredictions across N DL runs (final epoch only) and
-    across the RF results, then report the patients the DL gets right a
-    majority of the time while the RF gets them wrong a majority of the
-    time.
+    (reference: aim2_dl_v_rf_compr/dl_rf_pt_diffs.py:10-38) with the
+    comparison made principled: a patient is "improved" when the DL runs
+    get them wrong in a MINORITY of the trials that evaluated them while
+    the RF gets them wrong in a majority of its trials (the reference
+    hardcoded `< 5` / `>= 5` against its own 10-trial run set and divided
+    the RF counts by 10, a fossil of that specific experiment).  Each DL
+    run contributes its own final epoch, so shorter runs still count.
     """
     frames = []
     for i, df in enumerate(dl_patient_frames):
-        df = df.copy()
+        df = df[df.epoch_num == df.epoch_num.max()].copy()
         df["model_num"] = i
         frames.append(df)
     dl = pd.concat(frames, ignore_index=True)
-    if final_epoch is None:
-        final_epoch = dl.epoch_num.max()
-    dl = dl[dl.epoch_num == final_epoch]
-    n_models = dl.model_num.nunique()
-    if majority_of_n is None:
-        majority_of_n = n_models / 2.0
 
-    dl_mispreds = dl[dl.patho != dl.prediction].patient.value_counts()
-    rf_mispreds = rf_frame[
-        rf_frame.patho != rf_frame.prediction].patient.value_counts()
-    common = sorted(set(dl_mispreds.index) & set(rf_mispreds.index))
-    improved = [
-        pt for pt in rf_mispreds.index
-        if dl_mispreds.get(pt, 0) < majority_of_n
-    ]
-    regressed = [
-        pt for pt in dl_mispreds.index
-        if dl_mispreds[pt] >= majority_of_n and pt not in rf_mispreds.index
-    ]
+    def _wrong_frac(frame):
+        trials = frame.patient.value_counts()
+        wrong = frame[
+            frame.patho != frame.prediction].patient.value_counts()
+        return wrong.reindex(trials.index, fill_value=0) / trials, trials
+
+    dl_frac, dl_trials = _wrong_frac(dl)
+    rf_frac, _ = _wrong_frac(rf_frame)
+    dl_mispreds = (dl_frac * dl_trials).astype(int)
+    dl_mispreds = dl_mispreds[dl_mispreds > 0]
+    rf_wrong_majority = set(rf_frac[rf_frac >= 0.5].index)
+    common = sorted(
+        set(dl_mispreds.index)
+        & set(rf_frac[rf_frac > 0].index)
+    )
+    # only patients BOTH models evaluated can be compared
+    both = set(dl_frac.index) & set(rf_frac.index)
+    improved = sorted(
+        pt for pt in both
+        if pt in rf_wrong_majority and dl_frac[pt] < 0.5
+    )
+    regressed = sorted(
+        pt for pt in both
+        if dl_frac[pt] >= 0.5 and rf_frac[pt] < 0.5
+    )
     detail = dl[dl.patient.isin(improved)].groupby("patient").first()
     return {
         "dl_mispreds": dl_mispreds,
-        "rf_mispreds": rf_mispreds,
+        "rf_mispreds": rf_frame[
+            rf_frame.patho != rf_frame.prediction].patient.value_counts(),
         "common_mispreds": common,
         "improved_pts": improved,
         "regressed_pts": regressed,
@@ -202,8 +211,9 @@ def main(argv=None):
         for pt in out["improved_pts"]:
             print("  ", pt)
         if len(out["improved_detail"]):
-            print(out["improved_detail"][
-                ["patho", "prediction", "pred_frac"]].to_string())
+            cols = [c for c in ("patho", "prediction", "pred_frac")
+                    if c in out["improved_detail"].columns]
+            print(out["improved_detail"][cols].to_string())
         return
 
     from deepards_tpu.data.dataset import ARDSRawDataset

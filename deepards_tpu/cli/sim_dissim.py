@@ -128,9 +128,11 @@ def generate_hetero_splits(dataset, out_dir, n_splits=10, train_n=40,
                                              dist_method=dist_method)
     rng = np.random.default_rng(seed)
     written = []
-    for n in range(n_splits):
+    # numbered from 1: the experiment registry (and the reference runner,
+    # which skips n==0) only carries train_sim_test_sim_dissim_split_1..9
+    for n in range(1, n_splits + 1):
         split = hetero_split(
-            similarity, dataset, n, rng, train_n=train_n, test_n=test_n,
+            similarity, dataset, n - 1, rng, train_n=train_n, test_n=test_n,
             retrieve_n=n_splits, mean_similarity_thresh=mean_similarity_thresh)
         path = os.path.join(
             out_dir, "train_sim_test_sim_dissim_split_{}.yml".format(n))
@@ -165,7 +167,7 @@ def sim_dissim_breakdown(patient_results, split):
 
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="deepards-sim-dissim")
-    sub = parser.add_subparsers(dest="command")
+    sub = parser.add_subparsers(dest="command", required=True)
 
     gen = sub.add_parser(
         "generate", help="similar/dissimilar cohort split files")

@@ -383,8 +383,13 @@ def reference_experiments():
         two_dim_transforms=["mag_warp", "row_shuffle", "win_warp"])
 
     # -- anonymized-cohort quickstart ---------------------------------------
+    # cohort_file is machine-local in the reference yml (excluded from the
+    # registry parity diff); the relative anonymized-cohort CSV name that
+    # cli/anonymize_cohort.py writes is kept so the experiment works out of
+    # the box
     exps["unpadded_centered_sequences_nb20_anon"] = {
         "base_network": "densenet18", "clip_val": 0.01,
+        "cohort_file": "anon-desc.csv",
         "dataset_type": "unpadded_centered_sequences", "epochs": 10,
         "kfolds": 5, "n_sub_batches": 20, "network": "cnn_linear",
     }

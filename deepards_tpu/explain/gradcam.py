@@ -79,11 +79,6 @@ class GradCam:
             grads, out = jax.grad(score, has_aux=True)(fmap)
             return fmap, grads, out
 
-        # batched cam pipeline: every sequence's feature map, gradient and
-        # logits in ONE dispatch (the per-sample python loop otherwise
-        # pays a full device round trip per sequence)
-        self._batch_grad = jax.jit(jax.vmap(_one_seq))
-
         def _one_seq_cam(x, target):
             # cam reduction ON DEVICE: fetching raw (S, L', C) fmaps+grads
             # for a whole batch moves hundreds of MB through the chip
@@ -94,6 +89,10 @@ class GradCam:
             cam = (fmap * weights[:, None, :]).sum(axis=-1)  # (S, L')
             return cam, out
 
+        # batched cam pipeline: every sequence's cam and logits in ONE
+        # dispatch, reduced on device (the per-sample python loop pays a
+        # full round trip per sequence; fetching raw fmaps+grads pays
+        # hundreds of MB through the chip tunnel)
         self._batch_cam = jax.jit(jax.vmap(_one_seq_cam))
 
     def _head_dense_params(self):
