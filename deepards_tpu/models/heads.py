@@ -110,15 +110,19 @@ class CNNRegressor(nn.Module):
 
 
 class MetadataOnlyNetwork(nn.Module):
-    """3-layer MLP over mean breath-meta
-    (reference: torch_metadata_only_network.py:9-26)."""
+    """Linear(9,32)->Linear(32,16)->Linear(16,2) over metadata.mean(dim=1)
+    — reproduced exactly, INCLUDING the absence of activations between
+    layers: the reference's published grid-searched classifier is a pure
+    linear chain (reference: torch_metadata_only_network.py:17-26).  The
+    reference raises on NaN metadata at forward time; here NaN-freedom is
+    a dataset invariant (wrong-dataset-type misuse surfaces as NaN loss).
+    """
 
     @nn.compact
     def __call__(self, x, metadata=None, deterministic=False):
-        # metadata: (B, 2, 9) mean+median rows -> mean row
-        h = metadata[:, 0]
-        h = nn.relu(nn.Dense(64)(h))
-        h = nn.relu(nn.Dense(64)(h))
+        h = metadata.mean(axis=1)  # (B, rows, 9) -> (B, 9)
+        h = nn.Dense(32)(h)
+        h = nn.Dense(16)(h)
         return nn.Dense(2)(h)
 
 

@@ -489,3 +489,32 @@ def test_densenet18_2d_feature_parity():
         np.asarray(fmap).transpose(0, 3, 1, 2), ref_fmap,
         atol=1e-4, rtol=1e-4,
     )
+
+
+def test_metadata_only_end_to_end_parity():
+    """Linear-chain metadata classifier transplant
+    (reference: torch_metadata_only_network.py:9-26)."""
+    ref_mod = _load_ref("ref_metadata_only",
+                        "torch_metadata_only_network.py")
+    from deepards_tpu.models.heads import MetadataOnlyNetwork
+
+    torch.manual_seed(0)
+    ref = ref_mod.MetadataOnlyNetwork()
+    meta = np.random.default_rng(0).normal(size=(4, 2, 9)).astype(
+        np.float32)
+    with torch.no_grad():
+        ref_out = ref(None, torch.from_numpy(meta)).numpy()
+
+    model = MetadataOnlyNetwork()
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        np.zeros((4, 1, 1, 224), np.float32), meta, True,
+    )["params"]
+    for i, lin in enumerate((ref.linear1, ref.linear2, ref.linear3)):
+        key = "Dense_{}".format(i)
+        params[key]["kernel"] = jnp.asarray(
+            lin.weight.detach().numpy().T)
+        params[key]["bias"] = jnp.asarray(lin.bias.detach().numpy())
+    out = model.apply({"params": params},
+                      np.zeros((4, 1, 1, 224), np.float32), meta, True)
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-5)
