@@ -84,14 +84,21 @@ class CNNLinearToMean(nn.Module):
 
 class CNNLinearComprToRF(nn.Module):
     """Median-pool window features -> Linear
-    (reference: torch_cnn_linear_network.py:28-46)."""
+    (reference: torch_cnn_linear_network.py:28-46).
+
+    torch.median returns the LOWER of the two middle values on an even
+    window count (the reference runs S=20), where jnp.median would
+    average them — the lower-median semantics are reproduced exactly.
+    """
 
     breath_block: nn.Module
 
     @nn.compact
     def __call__(self, x, metadata=None, deterministic=False):
         feats = _window_features(self.breath_block, x, deterministic)
-        return nn.Dense(2)(jnp.median(feats, axis=1))
+        s = feats.shape[1]
+        lower_median = jnp.sort(feats, axis=1)[:, (s - 1) // 2]
+        return nn.Dense(2)(lower_median)
 
 
 class CNNRegressor(nn.Module):

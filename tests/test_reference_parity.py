@@ -518,3 +518,16 @@ def test_metadata_only_end_to_end_parity():
     out = model.apply({"params": params},
                       np.zeros((4, 1, 1, 224), np.float32), meta, True)
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-5)
+
+
+def test_compr_to_rf_lower_median_semantics():
+    """torch.median takes the LOWER middle value on even counts
+    (reference: torch_cnn_linear_network.py:45 with S=20 windows);
+    jnp.median would average the two."""
+    rng = np.random.default_rng(3)
+    feats = rng.normal(size=(5, 20, 7)).astype(np.float32)
+    ref = torch.median(torch.from_numpy(feats), dim=1)[0].numpy()
+    ours = np.sort(feats, axis=1)[:, (feats.shape[1] - 1) // 2]
+    np.testing.assert_allclose(ours, ref, atol=0)
+    # and differs from the averaging median on generic data
+    assert not np.allclose(ours, np.median(feats, axis=1))
