@@ -225,6 +225,9 @@ def cohort(tmp_path_factory):
     "unpadded_centered_sequences",
     "padded_breath_by_breath",
     "unpadded_sequences",
+    "spaced_padded_breath_by_breath",
+    "unpadded_downsampled_sequences",
+    "unpadded_centered_downsampled_sequences",
 ])
 def test_etl_content_matches_reference(ref_dataset_mod, cohort,
                                        dataset_type):
@@ -306,6 +309,31 @@ def test_kfold_indexes_match_reference(ref_dataset_mod, cohort):
             np.sort(np.asarray(ref.kfold_indexes)),
             np.sort(np.asarray(ours.current_indices())),
         )
+
+
+def test_stretched_type_is_unscalable_in_the_reference(ref_dataset_mod,
+                                                       cohort):
+    """The reference's own derive_scaling_factors raises for
+    stretched_breath_by_breath (dataset.py:660-665 only recognizes
+    padded/unpadded name patterns), so the type is untrainable there;
+    ours supports it (a documented capability superset, not a parity
+    gap)."""
+    from deepards_tpu.data.dataset import ARDSRawDataset
+
+    kwargs = dict(
+        n_sub_batches=2,
+        dataset_type="stretched_breath_by_breath",
+        kfold_num=0,
+        total_kfolds=2,
+    )
+    with pytest.raises(Exception, match="unsupported dataset type"):
+        ref_dataset_mod.ARDSRawDataset(
+            cohort["data_path"], 1, cohort["cohort_file"],
+            all_sequences=[], **kwargs)
+    ours = ARDSRawDataset(
+        cohort["data_path"], 1, cohort["cohort_file"], **kwargs)
+    assert len(ours.cache.data) > 0
+    assert ours.scaling_factors
 
 
 def test_bm_target_etl_matches_reference(ref_dataset_mod, cohort):
