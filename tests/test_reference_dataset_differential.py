@@ -217,7 +217,8 @@ def cohort(tmp_path_factory):
 
     data_path = str(tmp_path_factory.mktemp("diff_cohort"))
     cohort_file = generate_cohort(
-        data_path, n_patients=4, n_breaths_per_patient=120, seed=77)
+        data_path, n_patients=4, n_breaths_per_patient=120, seed=77,
+        subdirs=("all_data", "aim1_70_30_training", "aim1_70_30_testing"))
     return {"data_path": data_path, "cohort_file": cohort_file}
 
 
@@ -368,3 +369,65 @@ def test_bm_target_etl_matches_reference(ref_dataset_mod, cohort):
             np.asarray(ours.cache.target[i], np.float64),
             rtol=1e-6,
         )
+
+
+@pytest.mark.parametrize("dataset_type,n_feats", [
+    ("padded_breath_by_breath_with_limited_bm_target", 3),
+    ("padded_breath_by_breath_with_experimental_bm_target", 7),
+])
+def test_other_bm_targets_match_reference(ref_dataset_mod, cohort,
+                                          dataset_type, n_feats):
+    """Limited/experimental bm-target variants (reference:
+    dataset.py:525-531).  Run under the 'main' holdout — the reference's
+    actual pretraining protocol — because its kfold splitter computes
+    y=argmax(target) (dataset.py:1433), which for these feature subsets
+    lands outside {0,1} for every window and crashes StratifiedKFold."""
+    from deepards_tpu.data.dataset import ARDSRawDataset
+
+    kwargs = dict(n_sub_batches=1, dataset_type=dataset_type,
+                  holdout_set_type="main")
+    ref = ref_dataset_mod.ARDSRawDataset(
+        cohort["data_path"], 1, cohort["cohort_file"],
+        all_sequences=[], **kwargs)
+    ours = ARDSRawDataset(
+        cohort["data_path"], 1, cohort["cohort_file"], **kwargs)
+    assert len(ref.all_sequences) == len(ours.cache.data)
+    for i, item in enumerate(ref.all_sequences):
+        np.testing.assert_allclose(
+            np.asarray(item[1], np.float32).reshape(-1),
+            np.asarray(ours.cache.data[i], np.float32).reshape(-1),
+            atol=1e-6)
+        meta = np.asarray(item[2], np.float64)
+        assert meta.shape == (n_feats,)
+        np.testing.assert_allclose(
+            meta, np.asarray(ours.cache.target[i], np.float64), rtol=1e-6)
+
+
+def test_unpadded_centered_with_bm_matches_reference(ref_dataset_mod,
+                                                     cohort):
+    """ProtoPNet's dataset type: windows + mean/median breath-meta rows
+    (reference: dataset.py:1083-1178)."""
+    from deepards_tpu.data.dataset import ARDSRawDataset
+
+    kwargs = dict(n_sub_batches=2,
+                  dataset_type="unpadded_centered_with_bm",
+                  kfold_num=0, total_kfolds=2)
+    ref = ref_dataset_mod.ARDSRawDataset(
+        cohort["data_path"], 1, cohort["cohort_file"],
+        all_sequences=[], **kwargs)
+    ours = ARDSRawDataset(
+        cohort["data_path"], 1, cohort["cohort_file"], **kwargs)
+    assert len(ref.all_sequences) == len(ours.cache.data)
+    for i, item in enumerate(ref.all_sequences):
+        pt, window, mean_meta, median_meta, target = item[:5]
+        assert str(pt) == str(
+            ours.cache.patients[ours.cache.patient_idx[i]])
+        np.testing.assert_allclose(
+            np.asarray(window, np.float32), ours.cache.data[i], atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(target, np.float32), ours.cache.target[i])
+        our_meta = np.asarray(ours.cache.meta[i], np.float64)
+        np.testing.assert_allclose(
+            np.asarray(mean_meta, np.float64), our_meta[0], rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(median_meta, np.float64), our_meta[1], rtol=1e-6)
