@@ -431,3 +431,45 @@ def test_unpadded_centered_with_bm_matches_reference(ref_dataset_mod,
             np.asarray(mean_meta, np.float64), our_meta[0], rtol=1e-6)
         np.testing.assert_allclose(
             np.asarray(median_meta, np.float64), our_meta[1], rtol=1e-6)
+
+
+@pytest.mark.parametrize("dataset_type,case", [
+    ("unpadded_centered_sequences", {}),
+    ("padded_breath_by_breath", {}),  # padded mu-mask normalization
+    ("unpadded_centered_sequences", {"butter_low": 8}),  # lowpass arm
+    ("unpadded_centered_sequences", {"butter_low": 2, "butter_high": 10}),
+    ("padded_breath_by_breath", {"post_hoc_downsampling": 2.0}),
+    ("unpadded_centered_sequences",
+     {"fft_filtering_low": 1, "fft_filtering_high": 10}),
+])
+def test_getitem_transforms_match_reference(ref_dataset_mod, cohort,
+                                            dataset_type, case):
+    """The actual training inputs: the reference's __getitem__
+    normalization + butter/downsample/FFT stack (dataset.py:1343-1404)
+    vs our jitted transform_batch over the same windows."""
+    from deepards_tpu.data.dataset import ARDSRawDataset
+    from deepards_tpu.data.pipeline import BatchPipeline
+
+    kwargs = dict(n_sub_batches=2, dataset_type=dataset_type,
+                  kfold_num=0, total_kfolds=2, **case)
+    ref = ref_dataset_mod.ARDSRawDataset(
+        cohort["data_path"], 1, cohort["cohort_file"],
+        all_sequences=[], **kwargs)
+    ours = ARDSRawDataset(
+        cohort["data_path"], 1, cohort["cohort_file"], **kwargs)
+    ours.set_kfold_indexes_for_fold(0)
+    ref.set_kfold_indexes_for_fold(0)
+
+    pipeline = BatchPipeline(ours)
+    idx = np.asarray(ours.current_indices()[:8])
+    batch = ours.gather(idx)
+    transformed = np.asarray(pipeline(np.asarray(batch["data"])))
+
+    for rel in range(len(idx)):
+        _, ref_data, _, _ = ref[rel]
+        np.testing.assert_allclose(
+            np.asarray(ref_data, np.float32),
+            transformed[rel],
+            atol=2e-4,
+            err_msg="{} {} item {}".format(dataset_type, case, rel),
+        )
