@@ -473,3 +473,153 @@ def test_getitem_transforms_match_reference(ref_dataset_mod, cohort,
             atol=2e-4,
             err_msg="{} {} item {}".format(dataset_type, case, rel),
         )
+
+
+@pytest.fixture(scope="module")
+def ref_metrics_mod():
+    """The reference's metrics.py, with prettytable (absent here) and
+    its optional dtw_lib import shimmed."""
+    path = "/root/reference/deepards/metrics.py"
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not available")
+
+    prettytable = types.ModuleType("prettytable")
+
+    class PrettyTable:
+        def __init__(self, *a, **k):
+            self.field_names = []
+            self._rows = []
+
+        def add_row(self, row):
+            self._rows.append(row)
+
+        def __str__(self):
+            return "\n".join(str(r) for r in self._rows)
+
+    prettytable.PrettyTable = PrettyTable
+    deepards_pkg = types.ModuleType("deepards")
+    deepards_pkg.__path__ = []
+    dtw_lib = types.ModuleType("deepards.dtw_lib")
+    deepards_pkg.dtw_lib = dtw_lib
+    injected = {
+        "prettytable": prettytable,
+        "deepards": deepards_pkg,
+        "deepards.dtw_lib": dtw_lib,
+    }
+    saved = {k: sys.modules.get(k) for k in injected}
+    sys.modules.update(injected)
+    try:
+        spec = importlib.util.spec_from_file_location("ref_metrics", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        yield mod
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def test_patient_vote_aggregation_matches_reference(ref_metrics_mod,
+                                                    tmp_path, capsys):
+    """Patient-level vote rows, pred_frac, majority predictions and the
+    aggregate accuracy/sensitivity/precision/AUC/f1 table vs the
+    reference's DeepARDSResults (reference: metrics.py:572-626,
+    317-351) on identical mock predictions."""
+    import pandas as pd
+
+    from deepards_tpu.eval.metrics import DeepARDSResults
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for pt in range(8):
+        y = pt % 2
+        rows += [[str(pt), y]] * 25
+    y_test = pd.DataFrame(rows, columns=["patient", "y"])
+    preds = pd.Series(rng.integers(0, 2, len(y_test)), index=y_test.index)
+
+    ref = ref_metrics_mod.DeepARDSResults(0, "difftest")
+    ref.perform_patient_predictions(y_test, preds, 0, 0)
+    capsys.readouterr()
+
+    ours = DeepARDSResults(0, "difftest", results_dir=str(tmp_path))
+    our_stats = ours.perform_patient_predictions(
+        y_test, preds, 0, 0, verbose=False)
+
+    # per-patient vote rows
+    shared_cols = [c for c in ref.results.columns]
+    assert list(ours.results.columns) == shared_cols
+    ref_rows = ref.results.sort_values("patient").reset_index(drop=True)
+    our_rows = ours.results.sort_values("patient").reset_index(drop=True)
+    for col in shared_cols:
+        np.testing.assert_array_equal(
+            np.asarray(ref_rows[col].tolist()),
+            np.asarray(our_rows[col].tolist()), err_msg=col)
+
+    # aggregate stats table
+    ref_stats = ref._aggregate_specific_results(ref.results, 0, 0)
+    for col in ("accuracy", "sensitivity", "specificity", "precision",
+                "auc", "f1"):
+        np.testing.assert_allclose(
+            np.asarray(ref_stats[col], np.float64),
+            np.asarray(our_stats[col], np.float64),
+            atol=1e-9, err_msg=col)
+
+    # meters recorded identically
+    for meter in ("test_auc", "test_patient_accuracy", "test_prec_ards",
+                  "test_sen_ards", "test_f1_ards"):
+        ref_meter = ref.reporting.meters["{}_fold_0".format(meter)]
+        np.testing.assert_allclose(
+            ref_meter.values.numpy()
+            if hasattr(ref_meter.values, "numpy")
+            else np.asarray(ref_meter.values),
+            np.asarray(ours.get_meter(meter, 0).values),
+            atol=1e-9, err_msg=meter)
+
+
+def test_losses_match_reference(ref_metrics_mod):
+    """BCE / vacillating / confidence-penalty losses vs the reference's
+    loss.py on identical logits (reference: loss.py:7-35)."""
+    spec = importlib.util.spec_from_file_location(
+        "ref_loss", "/root/reference/deepards/loss.py")
+    ref_loss = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_loss)
+
+    from deepards_tpu.train import losses as our_losses
+
+    rng = np.random.default_rng(11)
+    logits = rng.normal(size=(12, 2)).astype(np.float32)
+    target = np.eye(2, dtype=np.float32)[rng.integers(0, 2, 12)]
+    t_logits = torch.from_numpy(logits)
+    t_target = torch.from_numpy(target)
+
+    ref_bce = float(torch.nn.BCEWithLogitsLoss()(t_logits, t_target))
+    np.testing.assert_allclose(
+        float(our_losses.bce_with_logits(logits, target)), ref_bce,
+        rtol=1e-6)
+
+    # vacillating loss operates on per-breath (B, S, 2) logits: the mean
+    # softmax over the S axis is what gets pushed away from 0.5
+    # (reference use: PerBreathClassifierMixin outputs).  With confident
+    # logits the left-hand branch is invalid exactly where the right-hand
+    # value is valid, which is the incidental shape agreement the
+    # reference's in-place patch-up (loss.py:21) depends on.
+    vlogits = (rng.normal(size=(6, 10, 2)) * 3).astype(np.float32)
+    vtarget = np.repeat(
+        np.eye(2, dtype=np.float32)[rng.integers(0, 2, 6)][:, None, :],
+        10, axis=1)
+    alpha = 2.0
+    ref_vac = float(ref_loss.VacillatingLoss(
+        torch.tensor(alpha))(torch.from_numpy(vlogits),
+                             torch.from_numpy(vtarget)))
+    np.testing.assert_allclose(
+        float(our_losses.vacillating_loss(vlogits, vtarget, alpha)),
+        ref_vac, rtol=1e-5)
+
+    beta = 0.3
+    ref_conf = float(ref_loss.ConfidencePenaltyLoss(beta)(
+        t_logits, t_target))
+    np.testing.assert_allclose(
+        float(our_losses.confidence_penalty_loss(logits, target, beta)),
+        ref_conf, rtol=1e-5)
