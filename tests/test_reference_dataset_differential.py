@@ -623,3 +623,59 @@ def test_losses_match_reference(ref_metrics_mod):
     np.testing.assert_allclose(
         float(our_losses.confidence_penalty_loss(logits, target, beta)),
         ref_conf, rtol=1e-5)
+
+
+def test_siamese_triplets_match_reference(ref_dataset_mod,
+                                          tmp_path_factory):
+    """Siamese positive-pair selection + single-window-patient drop vs
+    the reference's SiameseNetworkDataset (reference:
+    dataset.py:1463-1620).  Negatives are random draws in both stacks
+    (statistical parity), so only their other-patient invariant is
+    checked."""
+    from deepards_tpu.data.siamese_dataset import SiameseWindowDataset
+    from deepards_tpu.data.synthetic import generate_cohort
+
+    data_path = str(tmp_path_factory.mktemp("siam_cohort"))
+    cohort_file = generate_cohort(
+        data_path, n_patients=4, n_breaths_per_patient=120, seed=21,
+        subdirs=("all_data", "aim1_70_30_training", "aim1_70_30_testing",
+                 "prototrain", "prototest"))
+
+    # padded_breath_by_breath is the reference siamese's only working
+    # builder: its get_unpadded_sequences_dataset override still calls the
+    # pre-refactor 3-argument processing signature (dataset.py:1568) and
+    # crashes, matching the launcher's own "XXX need to add processing
+    # for unpadded types" note (preprocess_siamese_models.py:19)
+    ref = ref_dataset_mod.SiameseNetworkDataset(
+        data_path, 1, 2, "padded_breath_by_breath",
+        all_sequences=[], train=True)
+    ours = SiameseWindowDataset(
+        data_path=data_path, experiment_num=1, n_sub_batches=2,
+        dataset_type="padded_breath_by_breath", cohort_file=cohort_file,
+        train=True)
+
+    # Our siamese view is built on the standard ARDSRawDataset, which
+    # applies the per-breath filters (>=21 samples, vent_bn frame drops)
+    # the reference siamese builder skips (dataset.py:1519-1545 has no
+    # length filter) — so ours is a filtered SUBSET of the reference's
+    # windows, under the same mu/std and the same positive-pair rule.
+    assert len(ours) <= len(ref)
+    assert len(ours) >= 0.9 * len(ref)  # only tail breaths get filtered
+
+    def key(arr):
+        return np.asarray(arr, np.float32).tobytes()
+
+    ref_windows = {key(item[1]) for item in ref.all_sequences}
+    np.random.seed(0)
+    rel = np.arange(len(ours))
+    anchors, poss, negs = ours.sample_triplet_indices(rel)
+    for i in rel:
+        our_anchor = ours.base.cache.data[anchors[i]]
+        assert key(our_anchor) in ref_windows, i
+        # positive = an adjacent window of the same patient
+        anchor_pt = ours.base.cache.patients[ours.base.cache.patient_idx[anchors[i]]]
+        pos_pt = ours.base.cache.patients[ours.base.cache.patient_idx[poss[i]]]
+        neg_pt = ours.base.cache.patients[ours.base.cache.patient_idx[negs[i]]]
+        assert anchor_pt == pos_pt
+        assert abs(int(poss[i]) - int(anchors[i])) == 1
+        assert anchor_pt != neg_pt
