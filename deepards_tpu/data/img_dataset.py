@@ -88,7 +88,12 @@ class ImgARDSDataset:
                 )
             img = rows[None]  # (1, H, W)
             if self.add_fft or self.fft_only:
-                trans = np.fft.fftshift(np.fft.fft(img, axis=2), axes=2)
+                # the reference's fftshift has no axes argument
+                # (dataset.py:1708), so besides centering the W-frequency
+                # axis it also rolls the image rows by H//2 — reproduced
+                # exactly (axes=(1, 2) on our (C, H, W) layout)
+                trans = np.fft.fftshift(np.fft.fft(img, axis=2),
+                                        axes=(1, 2))
                 chans = (
                     [trans.real] if self.fft_real_only
                     else [trans.real, trans.imag]

@@ -679,3 +679,64 @@ def test_siamese_triplets_match_reference(ref_dataset_mod,
         assert anchor_pt == pos_pt
         assert abs(int(poss[i]) - int(anchors[i])) == 1
         assert anchor_pt != neg_pt
+
+
+@pytest.mark.parametrize("add_fft,fft_real_only", [
+    (False, False),
+    (True, False),
+    (True, True),
+])
+def test_img_dataset_matches_reference(ref_dataset_mod, cohort, add_fft,
+                                       fft_real_only):
+    """2D image assembly (row packing, zero-pad, optional FFT channels)
+    and per-fold image scaling vs the reference's ImgARDSDataset
+    (reference: dataset.py:1623-1774, 1827-1855)."""
+    from deepards_tpu.data.dataset import ARDSRawDataset
+    from deepards_tpu.data.img_dataset import ImgARDSDataset
+
+    kwargs = dict(n_sub_batches=2,
+                  dataset_type="unpadded_centered_sequences",
+                  kfold_num=0, total_kfolds=2)
+    ref_raw = ref_dataset_mod.ARDSRawDataset(
+        cohort["data_path"], 1, cohort["cohort_file"],
+        all_sequences=[], **kwargs)
+    # latent reference defect: ImgARDSDataset.__init__ reaches the
+    # inherited set_kfold_patient_splits, which reads self.bootstrap /
+    # self.random_kfold — attributes only ARDSRawDataset.__init__ sets
+    # (the Img subclass never calls it), so current reference code
+    # crashes at construction; class attributes restore the
+    # pre-bootstrap-era behavior it was written against
+    ref_dataset_mod.ImgARDSDataset.bootstrap = False
+    ref_dataset_mod.ImgARDSDataset.random_kfold = False
+    ref_img = ref_dataset_mod.ImgARDSDataset(
+        ref_raw, [], add_fft, False, fft_real_only, False, False)
+
+    our_raw = ARDSRawDataset(
+        cohort["data_path"], 1, cohort["cohort_file"], **kwargs)
+    our_img = ImgARDSDataset(our_raw, add_fft=add_fft,
+                             fft_real_only=fft_real_only)
+
+    assert len(ref_img.all_sequences) == len(our_img.images)
+    for i, item in enumerate(ref_img.all_sequences):
+        pt, img, target = item[0], item[1], item[2]
+        # reference images are (H, W, C); ours (C, H, W)
+        ref_chw = np.transpose(np.asarray(img, np.float32), (2, 0, 1))
+        np.testing.assert_allclose(
+            ref_chw, our_img.images[i], atol=1e-4,
+            err_msg="image {} (fft={},{})".format(i, add_fft,
+                                                  fft_real_only))
+        np.testing.assert_allclose(
+            np.asarray(target, np.float32), our_img.target[i])
+        assert str(pt) == str(
+            our_img.patients[our_img.patient_idx[i]])
+
+    # per-fold image scaling: reference broadcasts per-channel values to
+    # (224, 224, C); ours stores per-channel scalars
+    for fold in range(2):
+        ref_mu, ref_std = ref_img.scaling_factors[fold]
+        our_mu, our_std = our_img.scaling_factors[fold]
+        for ref_v, our_v in ((ref_mu, our_mu), (ref_std, our_std)):
+            per_chan = np.asarray(ref_v, np.float64)[0, 0, :]
+            np.testing.assert_allclose(
+                per_chan, np.ravel(np.asarray(our_v, np.float64)),
+                rtol=1e-4, atol=1e-7)

@@ -531,3 +531,56 @@ def test_compr_to_rf_lower_median_semantics():
     np.testing.assert_allclose(ours, ref, atol=0)
     # and differs from the averaging median on generic data
     assert not np.allclose(ours, np.median(feats, axis=1))
+
+
+def test_protopnet_rf_math_matches_reference():
+    """Receptive-field machinery vs the reference's ProtoPNet
+    (reference: models/protopnet1d/model.py:11-110): layer rf info and
+    per-prototype rf boundaries over the densenet18 conv_info chain."""
+    import sys
+    import types
+
+    # model.py imports deepards.models.densenet at module level; only the
+    # rf functions are under test, so a stub satisfies the import
+    deepards_pkg = types.ModuleType("deepards")
+    deepards_pkg.__path__ = []
+    models_pkg = types.ModuleType("deepards.models")
+    models_pkg.__path__ = []
+    densenet_mod = types.ModuleType("deepards.models.densenet")
+    densenet_mod.densenet18 = lambda *a, **k: None
+    saved = {k: sys.modules.get(k) for k in
+             ("deepards", "deepards.models", "deepards.models.densenet")}
+    sys.modules.update({
+        "deepards": deepards_pkg,
+        "deepards.models": models_pkg,
+        "deepards.models.densenet": densenet_mod,
+    })
+    try:
+        ref = _load_ref("ref_ppnet_model",
+                        "protopnet1d/model.py")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+    from deepards_tpu.models.densenet1d import densenet18 as our_densenet
+    from deepards_tpu.models.protopnet1d import (
+        compute_proto_layer_rf_info,
+        compute_rf_boundaries,
+    )
+
+    ks, ss, ps = our_densenet().conv_info()
+    proto_kernel = 1
+    ref_info = ref.compute_proto_layer_rf_info_v2(
+        224, ks, ss, ps, proto_kernel)
+    our_info = compute_proto_layer_rf_info(224, ks, ss, ps, proto_kernel)
+    np.testing.assert_allclose(
+        np.asarray(our_info, np.float64),
+        np.asarray(ref_info, np.float64))
+
+    for pos in range(7):
+        ref_rf = ref.compute_rf_prototype(224, [0, 0, pos], ref_info)
+        our_lo, our_hi = compute_rf_boundaries(pos, our_info, seq_len=224)
+        assert ref_rf[1] == our_lo and ref_rf[2] == our_hi, pos
