@@ -422,7 +422,12 @@ def perform_fft(cache, add_fft=False, only_fft=False, fft_real_only=False):
     (reference: deepards/dataset.py:1330-1341)."""
     if not add_fft and not only_fft:
         return cache
-    trans = np.fft.fftshift(np.fft.fft(cache.data, axis=-1), axes=-1)
+    # the reference's fftshift has no axes argument (dataset.py:1334), so
+    # per (S, C, L) sequence it also rolls the WINDOW axis by S//2 — the
+    # fft channels of window k sit next to raw window (k+S//2)%S.
+    # Reproduced exactly (axes 1..3 of our (N, S, C, L) cache).
+    trans = np.fft.fftshift(np.fft.fft(cache.data, axis=-1),
+                            axes=(1, 2, 3))
     chans = [trans.real] if fft_real_only else [trans.real, trans.imag]
     chans = [c.astype(np.float32) for c in chans]
     if add_fft:

@@ -740,3 +740,30 @@ def test_img_dataset_matches_reference(ref_dataset_mod, cohort, add_fft,
             np.testing.assert_allclose(
                 per_chan, np.ravel(np.asarray(our_v, np.float64)),
                 rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.parametrize("add_fft,only_fft,real_only", [
+    (True, False, False),
+    (False, True, True),
+])
+def test_1d_fft_channels_match_reference(ref_dataset_mod, cohort,
+                                         add_fft, only_fft, real_only):
+    """1D FFT input channels vs the reference's _perform_fft
+    (reference: dataset.py:1330-1341), including its no-axes fftshift
+    that rolls the window axis by S//2."""
+    from deepards_tpu.data.dataset import ARDSRawDataset
+
+    kwargs = dict(n_sub_batches=2,
+                  dataset_type="unpadded_centered_sequences",
+                  kfold_num=0, total_kfolds=2, add_fft=add_fft,
+                  only_fft=only_fft, fft_real_only=real_only)
+    ref = ref_dataset_mod.ARDSRawDataset(
+        cohort["data_path"], 1, cohort["cohort_file"],
+        all_sequences=[], **kwargs)
+    ours = ARDSRawDataset(
+        cohort["data_path"], 1, cohort["cohort_file"], **kwargs)
+    assert len(ref.all_sequences) == len(ours.cache.data)
+    for i, item in enumerate(ref.all_sequences):
+        np.testing.assert_allclose(
+            np.asarray(item[1], np.float32), ours.cache.data[i],
+            atol=1e-4, err_msg="fft seq {}".format(i))
