@@ -128,12 +128,14 @@ def pt_diffs(dl_patient_frames, rf_frame):
         trials = frame.patient.value_counts()
         wrong = frame[
             frame.patho != frame.prediction].patient.value_counts()
-        return wrong.reindex(trials.index, fill_value=0) / trials, trials
+        wrong = wrong.reindex(trials.index, fill_value=0)
+        return wrong / trials, wrong
 
-    dl_frac, dl_trials = _wrong_frac(dl)
+    dl_frac, dl_wrong = _wrong_frac(dl)
     rf_frac, _ = _wrong_frac(rf_frame)
-    dl_mispreds = (dl_frac * dl_trials).astype(int)
-    dl_mispreds = dl_mispreds[dl_mispreds > 0]
+    # integer counts come straight from the tally: frac*trials would
+    # float-truncate (1 wrong of 3 -> 0.999.. -> 0), dropping patients
+    dl_mispreds = dl_wrong[dl_wrong > 0]
     rf_wrong_majority = set(rf_frac[rf_frac >= 0.5].index)
     common = sorted(
         set(dl_mispreds.index)

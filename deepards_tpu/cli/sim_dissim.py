@@ -128,11 +128,13 @@ def generate_hetero_splits(dataset, out_dir, n_splits=10, train_n=40,
                                              dist_method=dist_method)
     rng = np.random.default_rng(seed)
     written = []
-    # numbered from 1: the experiment registry (and the reference runner,
-    # which skips n==0) only carries train_sim_test_sim_dissim_split_1..9
-    for n in range(1, n_splits + 1):
+    # numbered from 1 with candidate index == split number: the reference
+    # runner skips candidate 0 and names split_n after candidate n, so
+    # same-named files must map to the same candidate sets
+    # (reference: scripts/hetero/train_sim_test_sim_dissim.py:91-131)
+    for n in range(1, n_splits):
         split = hetero_split(
-            similarity, dataset, n - 1, rng, train_n=train_n, test_n=test_n,
+            similarity, dataset, n, rng, train_n=train_n, test_n=test_n,
             retrieve_n=n_splits, mean_similarity_thresh=mean_similarity_thresh)
         path = os.path.join(
             out_dir, "train_sim_test_sim_dissim_split_{}.yml".format(n))

@@ -9,10 +9,13 @@ carry-over/window-boundary semantics of each type are preserved exactly;
 this runs once per cohort on the host (cold path) — the device only ever
 sees dense arrays.
 """
+import itertools
 from dataclasses import dataclass, field
 from typing import Optional
 
 import numpy as np
+
+_CACHE_TOKENS = itertools.count()
 from scipy.signal import resample
 
 from deepards_tpu.data.breath import find_x0_index, flow_time_features
@@ -88,6 +91,13 @@ class WindowCache:
     patients: list
     meta: Optional[np.ndarray] = None
     frames_dropped: dict = field(default_factory=dict)
+    # monotonic identity for device-side copies: id() values recycle after
+    # GC, so trainers key their HBM-resident uploads on this token instead
+    token: int = field(default_factory=lambda: next(_CACHE_TOKENS))
+
+    def bump_token(self):
+        """Invalidate device-side copies after in-place array mutation."""
+        self.token = next(_CACHE_TOKENS)
 
     def __len__(self):
         return self.data.shape[0]
@@ -434,4 +444,5 @@ def perform_fft(cache, add_fft=False, only_fft=False, fft_real_only=False):
         cache.data = np.concatenate([cache.data] + chans, axis=2)
     else:
         cache.data = np.concatenate(chans, axis=2)
+    cache.bump_token()
     return cache

@@ -486,13 +486,19 @@ class Trainer:
             return False
         return True
 
+    _DEVICE_CACHE_MAX_ENTRIES = 4
+
     def _get_device_cache(self, dataset):
+        from collections import OrderedDict
+
         caches = getattr(self, "_dev_caches", None)
         if caches is None:
-            caches = self._dev_caches = {}
-        # key on the underlying array: kfold train/test views share one
-        # cache object and must not be uploaded twice
-        key = id(dataset.cache.data)
+            caches = self._dev_caches = OrderedDict()
+        # key on the cache's monotonic generation token: kfold train/test
+        # views share one cache object and must not be uploaded twice,
+        # while id()-style keys would recycle after GC and alias a stale
+        # upload when a long-lived trainer swaps datasets
+        key = dataset.cache.token
         if key not in caches:
             rep = mesh_lib.replicated(self.mesh)
             dev = {
@@ -502,6 +508,10 @@ class Trainer:
             if dataset.cache.meta is not None:
                 dev["metadata"] = jax.device_put(dataset.cache.meta, rep)
             caches[key] = dev
+            while len(caches) > self._DEVICE_CACHE_MAX_ENTRIES:
+                caches.popitem(last=False)  # evict oldest upload from HBM
+        else:
+            caches.move_to_end(key)
         return caches[key]
 
     def _device_epoch_scan(self, train_step, with_meta):
@@ -617,10 +627,16 @@ class Trainer:
             )
             return logits.astype(jnp.float32), new_carry
 
-        def loss_wrap(params, batch, carry, dropout_rng):
+        # eval must honor the spec's dropout-off contract (the reference's
+        # LSTM trainer calls model.eval() before testing,
+        # train_ards_detector.py:880-881); training always draws masks
+        eval_deterministic = bool(self.spec.eval_dropout_off)
+
+        def loss_wrap(params, batch, carry, dropout_rng,
+                      deterministic=False):
             logits, new_carry = forward(
                 params, batch["data"], batch.get("metadata"), carry,
-                dropout_rng, False,
+                dropout_rng, deterministic,
             )
             target = jnp.repeat(
                 batch["target"][:, None, :], logits.shape[1], axis=1
@@ -652,7 +668,8 @@ class Trainer:
         def eval_step(state, batch, carry):
             rng, drng = split_state_rng(state.rng, rng_impl)
             loss, (logits, new_carry) = loss_wrap(
-                state.params, batch, carry, drng
+                state.params, batch, carry, drng,
+                deterministic=eval_deterministic,
             )
             return state.replace(rng=rng), loss, logits, new_carry
 

@@ -167,10 +167,14 @@ def test_hetero_split_generation_and_breakdown(synthetic_cohort, tmp_path):
         kfold_num=0, total_kfolds=2,
     )
     written = generate_hetero_splits(
-        ds, str(tmp_path), n_splits=2, train_n=2, test_n=1,
+        ds, str(tmp_path), n_splits=3, train_n=2, test_n=1,
         mean_similarity_thresh=1.0, seed=3,
     )
+    # split_n is named after candidate index n; candidate 0 is skipped,
+    # matching the reference runner's numbering (ADVICE r2)
     assert len(written) == 2
+    assert written[0].endswith("train_sim_test_sim_dissim_split_1.yml")
+    assert written[1].endswith("train_sim_test_sim_dissim_split_2.yml")
     with open(written[0]) as f:
         split = yaml.safe_load(f)
     assert set(split) == {"train", "test", "similar", "dissimilar"}
