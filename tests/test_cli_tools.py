@@ -97,6 +97,43 @@ def test_predict_cli(trained_run, monkeypatch, synthetic_cohort):
     assert votes.pred_frac.between(0, 1).all()
 
 
+def test_patient_gradcam_cli(trained_run, tmp_path):
+    """Full --ops surface entry point
+    (reference: patient_gradcam.py:378-437)."""
+    from deepards_tpu.cli.patient_gradcam import main
+
+    ckpt = os.path.join(
+        trained_run["saved"],
+        [c for c in os.listdir(trained_run["saved"])
+         if c.endswith("fold0") and "epoch" in c][0],
+    )
+    out = str(tmp_path / "gc")
+    main([
+        ckpt, "-pdp", trained_run["cache"], "--fold", "0",
+        "--ops", "medians", "--results-base-dir", out,
+        "--network", "cnn_linear", "--base-network", "densenet18",
+    ])
+    files = [f for _, _, fs in os.walk(out) for f in fs]
+    assert files
+    # dtw_clust restricted to one patient exercises the DTW kernel path
+    from deepards_tpu.data.dataset import ARDSRawDataset
+
+    ds = ARDSRawDataset.from_pickle(trained_run["cache"])
+    ds = ARDSRawDataset.make_test_dataset_if_kfold(ds)
+    ds.set_kfold_indexes_for_fold(0)
+    pt = str(ds.get_ground_truth_df().patient.iloc[0])
+    main([
+        ckpt, "-pdp", trained_run["cache"], "--fold", "0",
+        "--ops", "dtw_clust", "--results-base-dir", out,
+        "--only-patient", pt,
+    ])
+    clust = [
+        f for _, _, fs in os.walk(os.path.join(out, "dtw_clustering"))
+        for f in fs
+    ]
+    assert any(f == "elbow.npz" for f in clust)
+
+
 def test_mean_metrics_cli(trained_run, capsys):
     from deepards_tpu.cli.mean_metrics import main
 

@@ -82,6 +82,143 @@ def test_patient_gradcam_ops(cnn_linear_fitted, synthetic_cohort, tmp_path):
     assert len(out) >= 2  # one per patient, png or npz
 
 
+def test_patient_gradcam_rand_sample(cnn_linear_fitted, synthetic_cohort,
+                                     tmp_path):
+    """Random stratified sample panes in both grouping modes
+    (reference: patient_gradcam.py:293-306)."""
+    from deepards_tpu.data.dataset import ARDSRawDataset
+    from deepards_tpu.explain.patient_gradcam import PatientGradCam
+
+    model, params = cnn_linear_fitted
+    ds = ARDSRawDataset(
+        synthetic_cohort["data_path"], 1, synthetic_cohort["cohort_file"],
+        n_sub_batches=2, dataset_type="unpadded_centered_sequences",
+        kfold_num=0, total_kfolds=2,
+    )
+    pgc = PatientGradCam(model, params, ds, results_dir=str(tmp_path))
+    rng = np.random.default_rng(7)
+    pgc.do_rand_sample(randomize_groups=False, rng=rng, panes_per_group=1)
+    pgc.do_rand_sample(randomize_groups=True, rng=rng, panes_per_group=1)
+    non_random = os.path.join(str(tmp_path), "rand_sample", "non_random")
+    randomized = os.path.join(str(tmp_path), "rand_sample", "randomized")
+    nr = sorted(os.listdir(non_random))
+    rr = sorted(os.listdir(randomized))
+    # one pane per patho group + a txt record each
+    assert sum(f.endswith(".txt") for f in nr) == 2
+    assert sum(f.endswith(".txt") for f in rr) == 2
+    assert any(f.startswith("ards-sample") for f in nr)
+    assert any(f.startswith("non_ards-sample") for f in nr)
+    assert all(f.startswith("random-sample") for f in rr)
+    # the txt record has 16 entries of (n, patho, sequence_idx, breath_idx)
+    txt = [f for f in nr if f.endswith(".txt")][0]
+    with open(os.path.join(non_random, txt)) as fh:
+        lines = fh.read().strip().splitlines()
+    assert lines[0] == "n, patho, sequence_idx, breath_idx"
+    assert len(lines) == 17
+    gt = ds.get_ground_truth_df()
+    for line in lines[1:]:
+        _, patho, seq_idx, br_idx = [s.strip() for s in line.split(",")]
+        assert patho in ("ards", "non_ards")
+        assert int(seq_idx) in gt.index
+        assert 0 <= int(br_idx) < 2
+
+
+def test_patient_gradcam_cam_by_hour(cnn_linear_fitted, synthetic_cohort,
+                                     tmp_path):
+    """Per-hour cam sampling saves one pickle per (window, breath)
+    (reference: patient_gradcam.py:138-159)."""
+    import pandas as pd
+
+    from deepards_tpu.data.dataset import ARDSRawDataset
+    from deepards_tpu.explain.patient_gradcam import PatientGradCam
+
+    model, params = cnn_linear_fitted
+    ds = ARDSRawDataset(
+        synthetic_cohort["data_path"], 1, synthetic_cohort["cohort_file"],
+        n_sub_batches=2, dataset_type="unpadded_centered_sequences",
+        kfold_num=0, total_kfolds=2,
+    )
+    pgc = PatientGradCam(model, params, ds, results_dir=str(tmp_path))
+    pgc.do_cam_by_hour(hour_start=0, hour_end=24, n_sequences_per_hour=1)
+    root = os.path.join(str(tmp_path), "hour_sequences")
+    pkls = [
+        os.path.join(r, f)
+        for r, _, files in os.walk(root) for f in files
+        if f.endswith(".pkl")
+    ]
+    # 1 window per patient x 2 breaths each
+    n_patients = pgc.gt.patient.nunique()
+    assert len(pkls) == 2 * n_patients
+    payload = pd.read_pickle(pkls[0])
+    assert payload["breath"].shape == (224,)
+    assert payload["cam"].shape == (224,)
+    assert payload["model_output"].shape == (1, 2)
+    assert payload["target"] in (0, 1)
+    # layout: hour_sequences/<patho>/<patient>/<hour_start>/seq-*.pkl
+    rel = os.path.relpath(pkls[0], root).split(os.sep)
+    assert rel[0] in ("ards", "non_ards")
+    assert rel[2] == "0"
+
+
+def test_patient_gradcam_dtw_clust(cnn_linear_fitted, synthetic_cohort,
+                                   tmp_path):
+    """Cam-active span extraction -> batched DTW matrix -> KMedoids
+    elbow (reference: patient_gradcam.py:308-362)."""
+    from deepards_tpu.data.dataset import ARDSRawDataset
+    from deepards_tpu.explain.patient_gradcam import PatientGradCam
+
+    model, params = cnn_linear_fitted
+    ds = ARDSRawDataset(
+        synthetic_cohort["data_path"], 1, synthetic_cohort["cohort_file"],
+        n_sub_batches=2, dataset_type="unpadded_centered_sequences",
+        kfold_num=0, total_kfolds=2,
+    )
+    pgc = PatientGradCam(model, params, ds, results_dir=str(tmp_path))
+    # restrict to one patient to keep the pairwise matrix small
+    one_pt = pgc.gt.patient.iloc[0]
+    pgc.gt = pgc.gt[pgc.gt.patient == one_pt]
+    results = pgc.do_dtw_clust(sequence_thresh=0.9, seq_min_len=20)
+    assert len(results) == 1
+    (pt, target), res = next(iter(results.items()))
+    assert pt == str(one_pt)
+    n = res["n_sequences"]
+    D = res["distance_matrix"]
+    assert D.shape == (n, n)
+    # symmetric with a zero diagonal
+    np.testing.assert_allclose(D, D.T)
+    assert np.all(np.diag(D) == 0)
+    if n >= 2:
+        assert len(res["distortions"]) == len(res["clusters"]) > 0
+        d = np.asarray(res["distortions"])
+        assert np.all(np.isfinite(d)) and np.all(d >= 0)
+        # the elbow must trend down overall (local optima may wiggle)
+        assert d[-1] <= d[0] + 1e-6
+        out_dir = os.path.join(
+            str(tmp_path), "dtw_clustering",
+            "ards" if target == 1 else "non_ards", str(pt),
+        )
+        assert os.path.exists(os.path.join(out_dir, "elbow.npz"))
+
+
+def test_patient_gradcam_cam_active_spans():
+    """Span slicing: contiguous cam>=thresh runs of >= min_len samples
+    become waveform subsequences (the documented intent of the
+    reference's pandas groupby, patient_gradcam.py:328-340)."""
+    from deepards_tpu.explain.patient_gradcam import PatientGradCam
+
+    cam = np.zeros((1, 224), np.float32)
+    cam[0, 10:30] = 255.0   # 20-sample active run
+    cam[0, 50:53] = 255.0   # too short (3 < 5)
+    cam[0, 200:224] = 230.0  # above 0.8*255=204 -> active, 24 samples
+    br = np.arange(224, dtype=np.float32)[None]
+    pgc = object.__new__(PatientGradCam)  # _cam_active_spans is pure
+    spans = pgc._cam_active_spans(cam, br, sequence_thresh=0.8,
+                                  seq_min_len=5)
+    assert len(spans) == 2
+    np.testing.assert_array_equal(spans[0], np.arange(10, 30))
+    np.testing.assert_array_equal(spans[1], np.arange(200, 224))
+
+
 def test_prototype_viz_and_shap(synthetic_cohort, tmp_path):
     from deepards_tpu.data.dataset import ARDSRawDataset
     from deepards_tpu.explain.prototypes import (
