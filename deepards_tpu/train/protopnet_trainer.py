@@ -295,6 +295,13 @@ class ProtoPNetTrainer(Trainer):
             state = self.run_test_epoch(
                 state, eval_step, test_dataset, fold_num, epoch_num
             )
+            if conf.get("save_model_per_epoch") and conf.get("save_model"):
+                self.save_checkpoint(state, fold_num, epoch_num)
+        # checkpointing parity with the base trainer: the reference's
+        # BaseTraining saves every network type incl. ProtoPNet
+        # (train_ards_detector.py:355-374)
+        if conf.get("save_model"):
+            self.save_checkpoint(state, fold_num, None)
         self.final_state = state
         self.final_model = model
         return state

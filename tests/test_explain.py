@@ -219,6 +219,67 @@ def test_patient_gradcam_cam_active_spans():
     np.testing.assert_array_equal(spans[1], np.arange(200, 224))
 
 
+def test_protopnet_analysis(synthetic_cohort, tmp_path):
+    """Prototype-feature classifier probe, topk viz, random pane
+    (reference: protopnet_analysis.py:26-184)."""
+    from deepards_tpu.data.dataset import ARDSRawDataset
+    from deepards_tpu.explain.prototypes import ProtoPNetAnalysis
+    from deepards_tpu.models.densenet1d import densenet18
+    from deepards_tpu.models.protopnet1d import construct_ppnet
+
+    train = ARDSRawDataset(
+        synthetic_cohort["data_path"], 1, synthetic_cohort["cohort_file"],
+        n_sub_batches=2, dataset_type="unpadded_centered_sequences",
+        kfold_num=0, total_kfolds=2,
+    )
+    train.set_kfold_indexes_for_fold(0)
+    test = ARDSRawDataset.make_test_dataset_if_kfold(train)
+    test.set_kfold_indexes_for_fold(0)
+    model = construct_ppnet(densenet18(), sub_batch_size=2, n_prototypes=2)
+    x = jnp.asarray(train.cache.data[:2])
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, None, True,
+    )["params"]
+
+    # batch_size spans the whole split: BN uses batch statistics
+    # (reference parity), so the probe-vs-model check below must see the
+    # same batch composition
+    an = ProtoPNetAnalysis(model, params, train, test,
+                           batch_size=len(test.current_indices()))
+    S, P = 2, model.num_prototypes
+    assert an.train_features.shape == (len(train.current_indices()), S * P)
+    assert an.test_features.shape == (len(test.current_indices()), S * P)
+    # feature naming: window-major "prototype {breath},{proto}"
+    assert an.feature_names[0] == "prototype 0,0"
+    assert an.feature_names[P] == "prototype 1,0"
+    np.testing.assert_allclose(an.test_preds.sum(axis=1), 1.0, atol=1e-5)
+
+    # the transplanted-linear probe IS the model head (bias-free Dense):
+    # probe softmax must equal the model's own softmax on the same batch
+    idxs = test.current_indices()
+    logits, _ = model.apply(
+        {"params": params}, jnp.asarray(test.cache.data[idxs]), None, True,
+        rngs={"dropout": jax.random.PRNGKey(0)},
+    )
+    want = np.asarray(jax.nn.softmax(logits, axis=-1))
+    np.testing.assert_allclose(an.test_preds, want, atol=1e-4)
+
+    # topk viz returns a valid (window, breath, proto) triple
+    idx, breath_n, proto_n = an.plot_random_proto_from_linear_with_topk(
+        "ards", "ards", topk=4, rng=np.random.default_rng(5))
+    assert idx in test.get_ground_truth_df().index
+    assert 0 <= breath_n < S and 0 <= proto_n < P
+
+    # random-sequence pane + record
+    base = an.make_random_sequence_pane(
+        str(tmp_path / "pane"), rng=np.random.default_rng(6))
+    with open(base + ".txt") as fh:
+        lines = fh.read().strip().splitlines()
+    assert lines[0] == "n, patho, gt_idx, breath_n, proto_n"
+    assert len(lines) == 17
+
+
 def test_prototype_viz_and_shap(synthetic_cohort, tmp_path):
     from deepards_tpu.data.dataset import ARDSRawDataset
     from deepards_tpu.explain.prototypes import (
