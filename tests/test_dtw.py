@@ -85,6 +85,34 @@ def test_per_breath_rolling_scores():
     np.testing.assert_allclose(scores[3], expected, rtol=1e-4)
 
 
+def test_kmedoids_matches_reference_mediods():
+    """Differential: identical medoids/labels/inertia vs the reference's
+    own vendored estimator on shared precomputed distance fixtures
+    (reference: deepards/mediods.py:24-433; both use the deterministic
+    'heuristic' init + strict-improvement alternate updates)."""
+    import importlib.util
+
+    from deepards_tpu.dtw.kmedoids import KMedoids
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_mediods", "/root/reference/deepards/mediods.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    rng = np.random.default_rng(42)
+    for n, k in [(20, 2), (30, 4), (50, 8)]:
+        pts = rng.normal(size=(n, 3))
+        D = np.sqrt(((pts[:, None] - pts[None]) ** 2).sum(-1))
+        ours = KMedoids(k, metric="precomputed").fit(D)
+        theirs = ref.KMedoids(k, metric="precomputed").fit(D)
+        np.testing.assert_array_equal(
+            np.asarray(ours.medoid_indices_),
+            np.asarray(theirs.medoid_indices_))
+        np.testing.assert_array_equal(ours.labels_, theirs.labels_)
+        np.testing.assert_allclose(ours.inertia_, theirs.inertia_,
+                                   rtol=1e-9)
+
+
 def test_kmedoids_precomputed():
     from deepards_tpu.dtw.kmedoids import KMedoids
 
