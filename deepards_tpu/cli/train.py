@@ -150,6 +150,12 @@ def build_parser():
                         help="devices on the data mesh axis (-1 = all)")
     parser.add_argument("--compute-dtype",
                         choices=["bfloat16", "float32"])
+    parser.add_argument("--bn-scope", choices=["batch", "sequence"],
+                        help="norm-statistics scope: 'batch' folds all "
+                        "B*S windows into one norm batch (fast default); "
+                        "'sequence' reproduces the reference's "
+                        "per-sample BN statistics exactly "
+                        "(torch_cnn_linear_network.py:104-113)")
     parser.add_argument("--seed", type=int)
     parser.add_argument("--results-dir")
     flag("--parallel-folds",

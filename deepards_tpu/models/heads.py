@@ -9,15 +9,43 @@ the backbone once per sample (torch_cnn_linear_network.py:104-113 — its #1
 hot-loop inefficiency).  Here every head folds (batch, windows) into one
 (B*S) super-batch and runs the backbone as a single batched XLA conv
 program on the MXU.
+
+Because the backbones use batch-statistic normalization (the reference's
+track_running_stats=False + skipped model.eval()), the fold changes WHICH
+rows share norm statistics: the super-batch normalizes over all B*S
+windows, where the reference's loop normalizes over each sample's own S
+windows.  ``bn_scope='sequence'`` restores the reference's exact
+semantics by lifting the backbone per sample with ``nn.vmap`` (shared
+params, per-sequence norm statistics) — a config flag away from
+reference-exact numerics (plumbed from ``bn_scope`` in the experiment
+config; pinned bitwise vs the reference in tests/test_reference_parity).
 """
 import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _window_features(breath_block, x, deterministic):
-    """(B, S, C, L) -> (B, S, F): one batched backbone call over B*S."""
+def _window_features(parent, x, deterministic):
+    """(B, S, C, L) -> (B, S, F) window features from parent.breath_block.
+
+    bn_scope='batch' (default): one batched backbone call over B*S rows.
+    bn_scope='sequence': backbone lifted per sample so batch-stat BN
+    spans each sample's own S windows (reference-exact,
+    torch_cnn_linear_network.py:104-113).
+    """
     b, s, c, l = x.shape
-    feats = breath_block(x.reshape(b * s, c, l), deterministic)
+    if getattr(parent, "bn_scope", "batch") == "sequence":
+        def one_seq(mdl, seq):
+            return mdl.breath_block(seq, deterministic)
+
+        per_seq = nn.vmap(
+            one_seq,
+            in_axes=0,
+            out_axes=0,
+            variable_axes={"params": None},
+            split_rngs={"params": False, "dropout": True},
+        )
+        return per_seq(parent, x)  # (B, S, F)
+    feats = parent.breath_block(x.reshape(b * s, c, l), deterministic)
     return feats.reshape(b, s, -1)
 
 
@@ -27,10 +55,11 @@ class CNNLinearNetwork(nn.Module):
 
     breath_block: nn.Module
     metadata_features: int = 0
+    bn_scope: str = "batch"
 
     @nn.compact
     def __call__(self, x, metadata=None, deterministic=False):
-        feats = _window_features(self.breath_block, x, deterministic)
+        feats = _window_features(self, x, deterministic)
         b = feats.shape[0]
         flat = feats.reshape(b, -1)
         if self.metadata_features and metadata is not None:
@@ -46,10 +75,11 @@ class CNNDoubleLinearNetwork(nn.Module):
 
     breath_block: nn.Module
     metadata_features: int = 0
+    bn_scope: str = "batch"
 
     @nn.compact
     def __call__(self, x, metadata=None, deterministic=False):
-        feats = _window_features(self.breath_block, x, deterministic)
+        feats = _window_features(self, x, deterministic)
         b, s, _ = feats.shape
         inter = nn.Dense(2)(feats)  # (B, S, 2)
         flat = inter.reshape(b, -1)
@@ -63,10 +93,11 @@ class CNNSingleBreathLinearNetwork(nn.Module):
     (reference: torch_cnn_linear_network.py:49-67)."""
 
     breath_block: nn.Module
+    bn_scope: str = "batch"
 
     @nn.compact
     def __call__(self, x, metadata=None, deterministic=False):
-        feats = _window_features(self.breath_block, x, deterministic)
+        feats = _window_features(self, x, deterministic)
         return nn.Dense(2)(feats)
 
 
@@ -75,10 +106,11 @@ class CNNLinearToMean(nn.Module):
     (reference: torch_cnn_linear_network.py:7-25)."""
 
     breath_block: nn.Module
+    bn_scope: str = "batch"
 
     @nn.compact
     def __call__(self, x, metadata=None, deterministic=False):
-        feats = _window_features(self.breath_block, x, deterministic)
+        feats = _window_features(self, x, deterministic)
         return nn.Dense(2)(feats.mean(axis=1))
 
 
@@ -92,10 +124,11 @@ class CNNLinearComprToRF(nn.Module):
     """
 
     breath_block: nn.Module
+    bn_scope: str = "batch"
 
     @nn.compact
     def __call__(self, x, metadata=None, deterministic=False):
-        feats = _window_features(self.breath_block, x, deterministic)
+        feats = _window_features(self, x, deterministic)
         s = feats.shape[1]
         lower_median = jnp.sort(feats, axis=1)[:, (s - 1) // 2]
         return nn.Dense(2)(lower_median)
@@ -108,10 +141,11 @@ class CNNRegressor(nn.Module):
 
     breath_block: nn.Module
     n_outputs: int = 9
+    bn_scope: str = "batch"
 
     @nn.compact
     def __call__(self, x, metadata=None, deterministic=False):
-        feats = _window_features(self.breath_block, x, deterministic)
+        feats = _window_features(self, x, deterministic)
         b = feats.shape[0]
         return nn.Dense(self.n_outputs)(feats.reshape(b, -1))
 

@@ -16,10 +16,8 @@ from flax import linen as nn
 from deepards_tpu.models.transformer import Transformer
 
 
-def _window_features(breath_block, x, deterministic):
-    b, s, c, l = x.shape
-    feats = breath_block(x.reshape(b * s, c, l), deterministic)
-    return feats.reshape(b, s, -1)
+from deepards_tpu.models.heads import _window_features  # noqa: E402
+# (shared helper: honors each module's bn_scope field)
 
 
 def _metadata_valid(metadata):
@@ -36,10 +34,11 @@ class CNNLSTMNetwork(nn.Module):
     lstm_hidden_units: int = 16
     metadata_features: int = 0
     bm_to_linear: bool = False
+    bn_scope: str = "batch"
 
     @nn.compact
     def __call__(self, x, metadata=None, deterministic=False, carry=None):
-        feats = _window_features(self.breath_block, x, deterministic)
+        feats = _window_features(self, x, deterministic)
         if (
             self.metadata_features
             and metadata is not None
@@ -68,10 +67,11 @@ class CNNLSTMDoubleLinearNetwork(nn.Module):
     lstm_hidden_units: int = 16
     metadata_features: int = 0
     bm_to_linear: bool = False
+    bn_scope: str = "batch"
 
     @nn.compact
     def __call__(self, x, metadata=None, deterministic=False):
-        feats = _window_features(self.breath_block, x, deterministic)
+        feats = _window_features(self, x, deterministic)
         if (
             self.metadata_features
             and metadata is not None
@@ -166,11 +166,12 @@ class CNNTransformerNetwork(nn.Module):
     num_blocks: int = 2
     metadata_features: int = 0
     bm_to_linear: bool = False
+    bn_scope: str = "batch"
     n_out_filters: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, metadata=None, deterministic=False):
-        feats = _window_features(self.breath_block, x, deterministic)
+        feats = _window_features(self, x, deterministic)
         if (
             self.metadata_features
             and metadata is not None

@@ -117,10 +117,18 @@ class NetworkSpec:
     two_dim: bool = False  # operates on ImgARDSDataset images
 
 
+def _bn_scope(conf):
+    """'sequence' restores the reference's per-sample BN statistics
+    (reference python loop, torch_cnn_linear_network.py:104-113); the
+    default 'batch' folds all B*S windows into one norm batch."""
+    return conf.get("bn_scope") or "batch"
+
+
 def _simple(name, cls, **kw):
     return NetworkSpec(
         name=name,
-        build=lambda conf, bb, s, m: cls(breath_block=bb),
+        build=lambda conf, bb, s, m: cls(breath_block=bb,
+                                         bn_scope=_bn_scope(conf)),
         **kw,
     )
 
@@ -129,21 +137,23 @@ NETWORK_MAP = {
     "cnn_linear": NetworkSpec(
         "cnn_linear",
         lambda conf, bb, s, m: heads.CNNLinearNetwork(
-            breath_block=bb, metadata_features=m
+            breath_block=bb, metadata_features=m,
+            bn_scope=_bn_scope(conf),
         ),
         uses_metadata=True,
     ),
     "cnn_double_linear": NetworkSpec(
         "cnn_double_linear",
         lambda conf, bb, s, m: heads.CNNDoubleLinearNetwork(
-            breath_block=bb, metadata_features=m
+            breath_block=bb, metadata_features=m,
+            bn_scope=_bn_scope(conf),
         ),
         uses_metadata=True,
     ),
     "cnn_single_breath_linear": NetworkSpec(
         "cnn_single_breath_linear",
         lambda conf, bb, s, m: heads.CNNSingleBreathLinearNetwork(
-            breath_block=bb
+            breath_block=bb, bn_scope=_bn_scope(conf),
         ),
         target_mode="per_breath",
         expand_obs_idx=True,
@@ -155,7 +165,8 @@ NETWORK_MAP = {
     "cnn_regressor": NetworkSpec(
         "cnn_regressor",
         lambda conf, bb, s, m: heads.CNNRegressor(
-            breath_block=bb, n_outputs=_n_bm_features(conf)
+            breath_block=bb, n_outputs=_n_bm_features(conf),
+            bn_scope=_bn_scope(conf),
         ),
         target_mode="regression",
         kind="regressor",
@@ -178,6 +189,7 @@ NETWORK_MAP = {
             lstm_hidden_units=conf.get("time_series_hidden_units", 16) or 16,
             metadata_features=m,
             bm_to_linear=bool(conf.get("bm_to_linear")),
+            bn_scope=_bn_scope(conf),
         ),
         target_mode="per_breath",
         expand_obs_idx=True,
@@ -192,6 +204,7 @@ NETWORK_MAP = {
             lstm_hidden_units=conf.get("time_series_hidden_units", 16) or 16,
             metadata_features=m,
             bm_to_linear=bool(conf.get("bm_to_linear")),
+            bn_scope=_bn_scope(conf),
         ),
         uses_metadata=True,
     ),
@@ -221,6 +234,7 @@ NETWORK_MAP = {
             num_blocks=conf.get("transformer_blocks", 2) or 2,
             metadata_features=m,
             bm_to_linear=bool(conf.get("bm_to_linear")),
+            bn_scope=_bn_scope(conf),
         ),
         target_mode="per_breath",
         expand_obs_idx=True,
@@ -253,7 +267,7 @@ NETWORK_MAP = {
     "siamese_cnn_linear": NetworkSpec(
         "siamese_cnn_linear",
         lambda conf, bb, s, m: siamese.SiameseCNNLinearNetwork(
-            breath_block=bb
+            breath_block=bb, bn_scope=_bn_scope(conf),
         ),
         kind="siamese",
     ),
@@ -262,6 +276,7 @@ NETWORK_MAP = {
         lambda conf, bb, s, m: siamese.SiameseCNNLSTMNetwork(
             breath_block=bb,
             hidden_units=conf.get("time_series_hidden_units", 16) or 16,
+            bn_scope=_bn_scope(conf),
         ),
         kind="siamese",
     ),
@@ -270,6 +285,7 @@ NETWORK_MAP = {
         lambda conf, bb, s, m: siamese.SiameseCNNTransformerNetwork(
             breath_block=bb,
             hidden_units=conf.get("time_series_hidden_units", 16) or 16,
+            bn_scope=_bn_scope(conf),
         ),
         kind="siamese",
     ),
@@ -279,6 +295,7 @@ NETWORK_MAP = {
             breath_block=bb,
             time_layer=conf.get("siamese_time_layer", "none") or "none",
             hidden_units=conf.get("time_series_hidden_units", 16) or 16,
+            bn_scope=_bn_scope(conf),
         ),
     ),
     "protopnet": NetworkSpec(

@@ -11,21 +11,20 @@ from flax import linen as nn
 from deepards_tpu.models.transformer import Transformer
 
 
-def _window_features(breath_block, x, deterministic):
-    b, s, c, l = x.shape
-    feats = breath_block(x.reshape(b * s, c, l), deterministic)
-    return feats.reshape(b, s, -1)
+from deepards_tpu.models.heads import _window_features  # noqa: E402
+# (shared helper: honors each module's bn_scope field)
 
 
 class SiameseCNNLinearNetwork(nn.Module):
     """(reference: siamese.py:57-85)"""
 
     breath_block: nn.Module
+    bn_scope: str = "batch"
 
     @nn.compact
     def __call__(self, x, compr, deterministic=False):
-        x_out = _window_features(self.breath_block, x, deterministic)
-        c_out = _window_features(self.breath_block, compr, deterministic)
+        x_out = _window_features(self, x, deterministic)
+        c_out = _window_features(self, compr, deterministic)
         diff = nn.Dense(2, name="linear_intermediate")(
             jnp.abs(c_out - x_out)
         )
@@ -38,12 +37,13 @@ class SiameseCNNLSTMNetwork(nn.Module):
 
     breath_block: nn.Module
     hidden_units: int = 16
+    bn_scope: str = "batch"
 
     @nn.compact
     def __call__(self, x, compr, deterministic=False):
         lstm = nn.RNN(nn.OptimizedLSTMCell(features=self.hidden_units))
-        x_out = lstm(_window_features(self.breath_block, x, deterministic))
-        c_out = lstm(_window_features(self.breath_block, compr,
+        x_out = lstm(_window_features(self, x, deterministic))
+        c_out = lstm(_window_features(self, compr,
                                       deterministic))
         diff = nn.Dense(2, name="linear_intermediate")(jnp.abs(c_out - x_out))
         b = diff.shape[0]
@@ -55,11 +55,12 @@ class SiameseCNNTransformerNetwork(nn.Module):
 
     breath_block: nn.Module
     hidden_units: int = 16
+    bn_scope: str = "batch"
 
     @nn.compact
     def __call__(self, x, compr, deterministic=False):
-        x_out = _window_features(self.breath_block, x, deterministic)
-        c_out = _window_features(self.breath_block, compr, deterministic)
+        x_out = _window_features(self, x, deterministic)
+        c_out = _window_features(self, compr, deterministic)
         trans = Transformer(
             input_size=x_out.shape[-1],
             hidden_size=self.hidden_units,
@@ -81,10 +82,11 @@ class SiameseARDSClassifier(nn.Module):
     breath_block: nn.Module
     time_layer: str = "none"  # none|lstm|transformer
     hidden_units: int = 16
+    bn_scope: str = "batch"
 
     @nn.compact
     def __call__(self, x, metadata=None, deterministic=False):
-        out = _window_features(self.breath_block, x, deterministic)
+        out = _window_features(self, x, deterministic)
         if self.time_layer == "lstm":
             out = nn.RNN(nn.OptimizedLSTMCell(features=self.hidden_units))(out)
         elif self.time_layer == "transformer":

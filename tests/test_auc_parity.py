@@ -68,7 +68,11 @@ def parity_cohort(tmp_path_factory):
 
 
 @pytest.mark.slow
-def test_auc_parity_same_data_same_protocol(parity_cohort):
+@pytest.mark.parametrize("bn_scope", ["batch", "sequence"])
+def test_auc_parity_same_data_same_protocol(parity_cohort, bn_scope):
+    """Runs in BOTH BN modes: the default super-batch statistics and the
+    reference-exact per-sequence statistics (bn_scope: sequence, the
+    config switch added for strict semantic parity)."""
     synthetic_cohort = parity_cohort
     from deepards_tpu.data.dataset import ARDSRawDataset
     from deepards_tpu.data.pipeline import BatchPipeline
@@ -95,8 +99,13 @@ def test_auc_parity_same_data_same_protocol(parity_cohort):
     y_train = ds.cache.target[train_idx]
     x_test = np.asarray(pipeline(test_ds.cache.data[test_idx]))
 
-    epochs, bs, lr = 5, 8, 0.005
-    ref_epochs = 10  # give the reference protocol double the budget
+    bs, lr = 8, 0.005
+    ref_epochs = 10
+    # batch mode: the super-batch statistics make the cohort learnable in
+    # half the reference's budget.  sequence mode: identical semantics to
+    # the reference, so identical budget — the invariant is parity, not
+    # the batch-mode speedup.
+    epochs = 5 if bn_scope == "batch" else ref_epochs
 
     # ---- reference stack: its own torch modules, its own loop ----------
     torch.manual_seed(0)
@@ -155,12 +164,16 @@ def test_auc_parity_same_data_same_protocol(parity_cohort):
         compute_dtype="float32",
         results_dir="/tmp/auc_parity_results",
         seed=0,
+        bn_scope=bn_scope,
     ))
     trainer = make_trainer(conf, verbose=False)
     results = trainer.train_and_test()
     our_auc = max(results.get_meter("test_auc", 0).values)
 
-    # the TPU build must learn the separable cohort outright, and never
-    # do worse than the reference's own protocol (parity-or-better)
-    assert our_auc >= 0.95, (our_auc, ref_auc)
+    # parity-or-better vs the reference's own protocol in BOTH modes;
+    # the super-batch mode must additionally learn the separable cohort
+    # outright (the sequence mode reproduces the reference's harder
+    # optimization surface, so its bar is the reference itself)
     assert our_auc >= ref_auc - 0.005, (our_auc, ref_auc)
+    if bn_scope == "batch":
+        assert our_auc >= 0.95, (our_auc, ref_auc)

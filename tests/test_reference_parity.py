@@ -225,6 +225,19 @@ def test_cnn_linear_parity_multi_sequence(ref_densenet, ref_cnn_linear):
         np.asarray(logits), ref_logits, atol=1e-4, rtol=1e-4
     )
 
+    # the bn_scope='sequence' config mode makes the SAME exactness a
+    # plain apply — no vmap trick needed (the production switch for
+    # reference-exact semantics; registry._bn_scope)
+    model_seq = CNNLinearNetwork(breath_block=densenet18(),
+                                 bn_scope="sequence")
+    logits_seq = model_seq.apply(
+        {"params": params}, jnp.asarray(x), None, True,
+        rngs={"dropout": jax.random.PRNGKey(0)},
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_seq), ref_logits, atol=1e-4, rtol=1e-4
+    )
+
 
 def transplant_resnet18(tnet):
     """Map reference ResNet(BasicBlock, [2,2,2,2]) state into the
