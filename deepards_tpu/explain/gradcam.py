@@ -26,9 +26,15 @@ class GradCam:
     (reference model surface: gradcam.py:40-65).
     """
 
-    def __init__(self, model, params):
+    def __init__(self, model, params, record_grads=False):
         self.model = model
         self.params = params
+        # optional per-call grad/pred history for grad-norm histograms
+        # (reference: gradcam.py keeps self.grads/self.preds consumed by
+        # patient_gradcam.plot_grads, patient_gradcam.py:365-375)
+        self.record_grads = record_grads
+        self.grads = []
+        self.preds = []
 
         def feature_fn(x):
             # pre-relu conv feature map (N, L', C)
@@ -125,7 +131,11 @@ class GradCam:
         # convert to torch-layout (N, C, L') to mirror reference math
         conv = np.asarray(fmap).transpose(0, 2, 1)
         grad = np.asarray(grads).transpose(0, 2, 1)
-        return conv, grad, np.asarray(out)
+        out = np.asarray(out)
+        if self.record_grads:
+            self.grads.append(grad)
+            self.preds.append(out)
+        return conv, grad, out
 
 
 class MaxMinNormCam(GradCam):

@@ -440,6 +440,37 @@ class PatientGradCam:
                 }
         return results
 
+    def plot_grads(self, out_path=None):
+        """Histogram of per-call cam gradient norms split by predicted
+        class (reference: patient_gradcam.py:365-375 plot_grads).
+        Requires the cam generator to have been built with
+        ``record_grads=True``; returns (ards_norms, other_norms)."""
+        grads = getattr(self.cam, "grads", [])
+        preds = getattr(self.cam, "preds", [])
+        if not grads:
+            raise ValueError(
+                "no recorded gradients: construct PatientGradCam with a "
+                "cam built record_grads=True and run an op first")
+        norms = np.array([
+            float(np.sqrt((np.asarray(g) ** 2).sum())) for g in grads
+        ])
+        outputs = np.array([
+            int(np.asarray(p).reshape(-1, p.shape[-1])[0].argmax())
+            for p in preds
+        ])
+        ards = norms[outputs == 1]
+        other = norms[outputs == 0]
+        plt = _get_plt()
+        if plt is not None:
+            fig, ax = plt.subplots()
+            ax.hist(ards, bins=20, label="ARDS", alpha=0.5)
+            ax.hist(other, bins=20, label="Other", alpha=0.5)
+            ax.legend()
+            if out_path:
+                fig.savefig(out_path, dpi=120)
+            plt.close(fig)
+        return ards, other
+
     def do_op(self, op, **kwargs):
         """Dispatch table covering the reference's full --ops surface
         (reference: patient_gradcam.py:384,421-437)."""

@@ -200,6 +200,43 @@ def test_patient_gradcam_dtw_clust(cnn_linear_fitted, synthetic_cohort,
         assert os.path.exists(os.path.join(out_dir, "elbow.npz"))
 
 
+def test_patient_gradcam_targets_and_plot_grads(cnn_linear_fitted,
+                                                synthetic_cohort,
+                                                tmp_path):
+    """Target-mode semantics (reference: patient_gradcam.py:46-54) and
+    the grad-norm histogram (reference: patient_gradcam.py:365-375)."""
+    from deepards_tpu.data.dataset import ARDSRawDataset
+    from deepards_tpu.explain.gradcam import MaxMinNormCam
+    from deepards_tpu.explain.patient_gradcam import PatientGradCam
+
+    model, params = cnn_linear_fitted
+    ds = ARDSRawDataset(
+        synthetic_cohort["data_path"], 1, synthetic_cohort["cohort_file"],
+        n_sub_batches=2, dataset_type="unpadded_centered_sequences",
+        kfold_num=0, total_kfolds=2,
+    )
+    pgc = PatientGradCam(model, params, ds, results_dir=str(tmp_path),
+                         target="both")
+    assert pgc.get_target(0) == [0, 1]
+    pgc.target = "ards"
+    assert pgc.get_target(0) == [1]
+    pgc.target = "other"
+    assert pgc.get_target(1) == [0]
+    pgc.target = 1
+    assert pgc.get_target(0) == [1]
+
+    def recording_cam(m, p):
+        return MaxMinNormCam(m, p, record_grads=True)
+
+    pgc2 = PatientGradCam(model, params, ds, results_dir=str(tmp_path),
+                          cam_cls=recording_cam)
+    pgc2.do_medians()
+    png = str(tmp_path / "grads.png")
+    ards, other = pgc2.plot_grads(out_path=png)
+    assert len(ards) + len(other) == pgc2.gt.patient.nunique()
+    assert np.all(np.concatenate([ards, other]) >= 0)
+
+
 def test_patient_gradcam_cam_active_spans():
     """Span slicing: contiguous cam>=thresh runs of >= min_len samples
     become waveform subsequences (the documented intent of the
