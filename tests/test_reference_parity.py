@@ -597,3 +597,115 @@ def test_protopnet_rf_math_matches_reference():
         ref_rf = ref.compute_rf_prototype(224, [0, 0, pos], ref_info)
         our_lo, our_hi = compute_rf_boundaries(pos, our_info, seq_len=224)
         assert ref_rf[1] == our_lo and ref_rf[2] == our_hi, pos
+
+
+@pytest.fixture(scope="module")
+def ref_gradcam():
+    """The reference's own gradcam.py, loaded with a stub deepards.dataset
+    (its module-level import; the cam classes never touch it)."""
+    import sys
+    import types
+
+    pkg = types.ModuleType("deepards")
+    ds_stub = types.ModuleType("deepards.dataset")
+    pkg.dataset = ds_stub
+    saved = {k: sys.modules.get(k) for k in ("deepards", "deepards.dataset")}
+    sys.modules["deepards"] = pkg
+    sys.modules["deepards.dataset"] = ds_stub
+    try:
+        path = "/root/reference/deepards/gradcam.py"
+        if not os.path.exists(path):
+            pytest.skip("reference checkout not available")
+        spec = importlib.util.spec_from_file_location("ref_gradcam_mod", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return mod
+
+
+def test_gradcam_differential_vs_reference(ref_densenet, ref_cnn_linear,
+                                           ref_gradcam, monkeypatch):
+    """Cam parity: the split-forward + jax.grad cams equal the
+    reference's own autograd-hook cams on transplanted weights, for all
+    three normalization variants (reference: gradcam.py:28-205)."""
+    from deepards_tpu.explain.gradcam import (
+        FracTotalNormCam,
+        MaxMinNormCam,
+        UnNormalizedCam,
+    )
+    from deepards_tpu.models.densenet1d import densenet18
+    from deepards_tpu.models.heads import CNNLinearNetwork
+
+    # the reference one_hot path calls .cuda(); CPU-only environment
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **kw: self)
+
+    torch.manual_seed(7)
+    S = 4
+    tback = ref_densenet.densenet18()
+    tnet = ref_cnn_linear.CNNLinearNetwork(
+        tback, sequence_size=S, metadata_features=0
+    )
+    tnet.eval()  # dropout off; BN unaffected (track_running_stats=False)
+
+    model = CNNLinearNetwork(breath_block=densenet18())
+    params = {
+        "breath_block": transplant_densenet(tback, (2, 2, 2, 2)),
+        "Dense_0": {
+            "kernel": jnp.asarray(
+                tnet.linear_final.weight.detach().numpy().T
+            ),
+            "bias": jnp.asarray(tnet.linear_final.bias.detach().numpy()),
+        },
+    }
+
+    x = np.random.default_rng(9).normal(size=(S, 1, 224)).astype(np.float32)
+    tx = torch.from_numpy(x)
+
+    for target in (0, 1):
+        # MaxMin: averaged cam + per-read cam rows (uint8, allow the
+        # quantization boundary to differ by 1)
+        ref_cam, ref_out = ref_gradcam.MaxMinNormCam(tnet).generate_cam(
+            tx, target)
+        cam, out = MaxMinNormCam(model, params).generate_cam(x, target)
+        np.testing.assert_allclose(
+            np.asarray(out), ref_out.detach().numpy(),
+            atol=1e-3, rtol=1e-3,
+        )
+        assert cam.shape == ref_cam.shape == (7,)
+        assert np.abs(cam.astype(int) - ref_cam.astype(int)).max() <= 1
+
+        ref_rcam, _ = ref_gradcam.MaxMinNormCam(tnet).generate_read_cam(
+            tx, target)
+        rcam, _ = MaxMinNormCam(model, params).generate_read_cam(x, target)
+        assert rcam.shape == ref_rcam.shape == (S, 7)
+        assert np.abs(rcam.astype(int) - ref_rcam.astype(int)).max() <= 1
+
+        # UnNormalized: raw float comparison
+        ref_un, _ = ref_gradcam.UnNormalizedCam(tnet).generate_cam(
+            tx, target)
+        un, _ = UnNormalizedCam(model, params).generate_cam(x, target)
+        np.testing.assert_allclose(un, ref_un, atol=1e-3, rtol=1e-2)
+
+        # FracTotal read cams: the reference divides without a zero
+        # guard (gradcam.py:189), so compare only where the denominator
+        # is meaningfully nonzero
+        ref_ft, _ = ref_gradcam.FracTotalNormCam(tnet).generate_read_cam(
+            tx, target)
+        ft, _ = FracTotalNormCam(model, params).generate_read_cam(
+            x, target)
+        un_t, _ = UnNormalizedCam(model, params).generate_read_cam(
+            x, target)
+        un_o, _ = UnNormalizedCam(model, params).generate_read_cam(
+            x, (target + 1) % 2)
+        denom = un_t + un_o
+        mask = denom > 1e-5
+        assert mask.any()
+        assert np.abs(
+            ft.astype(int)[mask] - ref_ft.astype(int)[mask]
+        ).max() <= 1
