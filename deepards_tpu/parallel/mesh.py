@@ -16,15 +16,29 @@ MODEL_AXIS = "model"
 
 
 def initialize_distributed(coordinator_address=None, num_processes=None,
-                           process_id=None):
+                           process_id=None, cpu_collectives="gloo"):
     """Initialize the multi-host JAX runtime (call once, before any
     device op, on every host of a pod slice).  No-op when single-process
     or when already initialized.  Collectives then ride ICI within the
     slice and DCN across slices, with no further code changes — GSPMD
-    sees the global mesh."""
+    sees the global mesh.
+
+    On the CPU backend, cross-process collectives need an explicit
+    implementation (``jax_cpu_collectives_implementation``): with gloo
+    set, true multi-process groups form and GSPMD all-reduces span
+    processes (pinned by tests/test_multiprocess.py — two real
+    processes, one global mesh, gradients identical to single-process).
+    """
     import jax
 
     try:
+        if cpu_collectives:
+            try:
+                jax.config.update(
+                    "jax_cpu_collectives_implementation", cpu_collectives
+                )
+            except Exception:
+                pass  # backend already initialized or unknown impl
         if coordinator_address:
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,
