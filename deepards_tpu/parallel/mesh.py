@@ -104,6 +104,28 @@ def replicate_tree(mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def fetch_global(x):
+    """Device array -> full host numpy array, multi-process safe.
+
+    The cross-host eval gather (SURVEY §2.11): patient-level vote
+    aggregation needs every process to see ALL window predictions.  In a
+    single process this is a plain fetch; across processes the sharded
+    output is allgathered first (np.asarray on a multi-process-sharded
+    array raises).  The reference did this implicitly with
+    .cpu().tolist() (train_ards_detector.py:462-463)."""
+    import numpy as np
+
+    if jax.process_count() > 1:
+        arr = getattr(x, "sharding", None)
+        if arr is not None and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True)
+            )
+    return np.asarray(x)
+
+
 # shard the classifier-head Dense (and its optimizer trace, which mirrors
 # the param tree) over the model axis: kernel (F, out) column-sharded,
 # bias (out,) sharded.  Matched by substring against the pytree key path.

@@ -581,8 +581,10 @@ class Trainer:
         dev = self._get_device_cache(dataset)
         if self.verbose:
             print("train instances: {} (device-cache epoch)".format(steps))
-        perm_d = jnp.asarray(perm.reshape(steps, target).astype(np.int32))
-        masks_d = jnp.asarray(masks.reshape(steps, target))
+        rep = mesh_lib.replicated(self.mesh)
+        perm_d = jax.device_put(
+            perm.reshape(steps, target).astype(np.int32), rep)
+        masks_d = jax.device_put(masks.reshape(steps, target), rep)
         scan = self._device_epoch_scan(train_step, "metadata" in dev)
         if "metadata" in dev:
             state, losses = scan(
@@ -724,8 +726,9 @@ class Trainer:
             dev = self._get_device_cache(dataset)
             sample = dataset.gather(order[:1])
             carry0 = self._zero_carry(model, sample)
-            ids = jnp.asarray(order.astype(np.int32))
-            resets_d = jnp.asarray(resets)
+            rep = mesh_lib.replicated(self.mesh)
+            ids = jax.device_put(order.astype(np.int32), rep)
+            resets_d = jax.device_put(resets, rep)
             if train:
                 state, losses = train_epoch_scan(
                     state, dev, ids, resets_d, carry0
@@ -738,7 +741,7 @@ class Trainer:
             )
             for l in np.asarray(losses):
                 self.results.update_meter("test_loss", fold_num, float(l))
-            out = np.asarray(logits)  # (n, 1, S, 2)
+            out = mesh_lib.fetch_global(logits)  # (n, 1, S, 2)
             preds = out.argmax(axis=-1).reshape(-1).tolist()
             pred_idx = np.repeat(order, out.shape[2]).tolist()
             self.record_classifier_results(
@@ -778,7 +781,7 @@ class Trainer:
                     self.results.update_meter(
                         "test_loss", fold_num, float(loss)
                     )
-                    out = np.asarray(logits)
+                    out = mesh_lib.fetch_global(logits)
                     preds.extend(out.argmax(axis=-1).reshape(-1).tolist())
                     pred_idx.extend([int(idx)] * out.shape[1])
                 if conf.get("debug"):
@@ -1051,10 +1054,12 @@ class Trainer:
             perm = np.concatenate([idx, idx[:pad]])
         dev = self._get_device_cache(dataset)
         scan = self._device_eval_scan(eval_step, "metadata" in dev)
+        rep = mesh_lib.replicated(self.mesh)
         state, (losses, outs) = scan(
             state, dev,
-            jnp.asarray(perm.reshape(steps, target).astype(np.int32)),
-            jnp.asarray(masks.reshape(steps, target)),
+            jax.device_put(perm.reshape(steps, target).astype(np.int32),
+                           rep),
+            jax.device_put(masks.reshape(steps, target), rep),
         )
         losses = np.asarray(losses)
         for l in losses:
@@ -1062,7 +1067,7 @@ class Trainer:
             self.results.update_epoch_meter(
                 "test_loss", epoch_num, float(l)
             )
-        outs = np.asarray(outs)
+        outs = mesh_lib.fetch_global(outs)
         out_flat = outs.reshape((steps * target,) + outs.shape[2:])[:n]
         if self.spec.kind == "classifier":
             if self.spec.expand_obs_idx:
@@ -1101,7 +1106,7 @@ class Trainer:
             self.results.update_epoch_meter(
                 "test_loss", epoch_num, float(loss)
             )
-            out = np.asarray(out)[:n_real]
+            out = mesh_lib.fetch_global(out)[:n_real]
             if self.spec.kind == "classifier":
                 if self.spec.expand_obs_idx:
                     # per-breath logits (B,S,2): every window index repeats
