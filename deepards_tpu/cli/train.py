@@ -163,11 +163,35 @@ def build_parser():
     parser.add_argument("--fused-steps", type=int,
                         help="train steps fused per device dispatch "
                         "(lax.scan); 1 disables")
+    # multi-process / multi-host (usually set by cli.launch_distributed)
+    parser.add_argument("--distributed-coordinator",
+                        help="coordinator address host:port; enables "
+                        "multi-process initialization before any device "
+                        "op")
+    parser.add_argument("--num-processes", type=int)
+    parser.add_argument("--process-id", type=int)
+    parser.add_argument("--platform", choices=["cpu", "tpu"],
+                        help="force the jax backend (some TPU plugins "
+                        "ignore JAX_PLATFORMS; this sets jax.config "
+                        "before any device op)")
     return parser
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "distributed_coordinator", None):
+        # must precede any device op (backend init is process-global)
+        from deepards_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(
+            args.distributed_coordinator,
+            args.num_processes,
+            args.process_id,
+        )
     conf = Configuration(args)
     # oversample alias quirk (reference: train_ards_detector.py:80-83)
     if "oversample" in conf.conf and conf.get("oversample") is not None:
