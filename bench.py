@@ -1058,20 +1058,37 @@ def main():
         with open(baseline_file) as f:
             baseline = json.load(f)["seqs_per_sec"]
 
-    # headline config 1 prints LAST: the driver parses the tail line
-    configs = [args.config] if args.config else [2, 3, 4, 5, 6, 1]
-    for n in configs:
-        try:
-            out = run_config(n, baseline)
-        except Exception as exc:
-            if n == 1:
-                raise  # the headline number must never be silently absent
+    if args.config:
+        print(json.dumps(run_config(args.config, baseline)), flush=True)
+        return
+
+    # Full default run.  The HEADLINE config 1 is measured FIRST (it must
+    # never be lost to an external timeout killing a long run) but its
+    # line prints LAST (the driver parses the tail).  Non-headline
+    # configs are skipped once the soft time budget is exhausted so the
+    # suite always reaches the final headline print.
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 15 * 60))
+    headline = run_config(1, baseline)
+    for n in (2, 3, 4, 5, 6):
+        if time.perf_counter() - t_start > budget_s:
             out = {
                 "config": n,
                 "config_name": CONFIG_NAMES[n],
-                "error": "{}: {}".format(type(exc).__name__, exc),
+                "skipped": "time budget ({}s) exhausted".format(
+                    int(budget_s)),
             }
+        else:
+            try:
+                out = run_config(n, baseline)
+            except Exception as exc:
+                out = {
+                    "config": n,
+                    "config_name": CONFIG_NAMES[n],
+                    "error": "{}: {}".format(type(exc).__name__, exc),
+                }
         print(json.dumps(out), flush=True)
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":
