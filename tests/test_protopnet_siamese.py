@@ -63,6 +63,9 @@ def test_ppnet_loss_components():
 
 @pytest.mark.slow
 def test_protopnet_e2e(synthetic_cohort, tmp_path):
+    import os
+
+    saved = str(tmp_path / "saved")
     conf = Configuration(overrides=dict(
         data_path=synthetic_cohort["data_path"],
         cohort_file=synthetic_cohort["cohort_file"],
@@ -82,6 +85,10 @@ def test_protopnet_e2e(synthetic_cohort, tmp_path):
         compute_dtype="float32",
         results_dir=str(tmp_path),
         only_fold=0,
+        save_model="pp",
+        save_model_per_epoch=True,
+        saved_models_dir=saved,
+        train_to_pickle=str(tmp_path / "pp_cache.npz"),
     ))
     trainer = make_trainer(conf, verbose=False)
     results = trainer.train_and_test()
@@ -92,6 +99,22 @@ def test_protopnet_e2e(synthetic_cohort, tmp_path):
     assert any(info is not None for info in trainer.last_push_info)
     auc = results.get_meter("test_auc", 0)
     assert len(auc) == 3
+    # checkpoint parity with the base trainer: per-epoch + final saves
+    ckpts = os.listdir(saved)
+    assert any(c == "pp-fold0" for c in ckpts)
+    assert any("epoch" in c and c.endswith("fold0") for c in ckpts)
+
+    # the protopnet analysis CLI consumes the checkpoint + cache
+    from deepards_tpu.cli.protopnet_analysis import main as ppa_main
+
+    out_dir = str(tmp_path / "ppa")
+    ppa_main([
+        os.path.join(saved, "pp-fold0"),
+        "--kfold-from-pickle", str(tmp_path / "pp_cache.npz"),
+        "--kfold-idx", "0", "-o", out_dir, "--n-prototypes", "2",
+    ])
+    panes = os.listdir(out_dir)
+    assert any(p.endswith(".txt") for p in panes)
 
 
 @pytest.mark.slow
