@@ -258,3 +258,63 @@ def test_dl_vs_rf_pt_diffs():
     assert set(out["improved_pts"]) == {"A", "B"}
     assert "C" in out["common_mispreds"]
     assert out["regressed_pts"] == []
+
+
+def test_serve_inference(trained_run):
+    """HTTP inference server: health + predict with patient votes
+    (deploy-serving surface; reference analogue: build/Dockerfile
+    eval-only runs)."""
+    import json
+    import threading
+    import urllib.request
+
+    from deepards_tpu.cli.serve import InferenceEngine, serve
+
+    ckpt = os.path.join(
+        trained_run["saved"],
+        [c for c in os.listdir(trained_run["saved"])
+         if c.endswith("fold0") and "epoch" in c][0],
+    )
+    engine = InferenceEngine(ckpt, n_sub_batches=4, batch_size=4)
+    engine.warm()
+    server = serve(engine, port=0)  # ephemeral port
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = server.server_address[1]
+        base = "http://127.0.0.1:{}".format(port)
+        health = json.load(urllib.request.urlopen(base + "/health"))
+        assert health["status"] == "ok"
+        assert health["network"] == "cnn_linear"
+
+        data = np.random.default_rng(0).normal(
+            size=(3, 4, 1, 224)).tolist()
+        req = urllib.request.Request(
+            base + "/predict",
+            data=json.dumps(
+                {"data": data, "patients": ["a", "a", "b"]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        resp = json.load(urllib.request.urlopen(req))
+        assert len(resp["predictions"]) == 3
+        totals = np.asarray(resp["prob_other"]) + np.asarray(
+            resp["prob_ards"])
+        np.testing.assert_allclose(totals, 1.0, atol=1e-5)
+        votes = resp["patient_votes"]
+        assert set(votes) == {"a", "b"}
+        assert votes["a"]["n_windows"] == 2
+        assert votes["b"]["prediction"] in (0, 1)
+
+        # malformed request -> 400 with an error payload, not a crash
+        bad = urllib.request.Request(
+            base + "/predict", data=b"{}",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "error" in json.load(e)
+    finally:
+        server.shutdown()
