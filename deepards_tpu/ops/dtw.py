@@ -237,3 +237,55 @@ def dtw_batch(a, b, la=None, lb=None):
     if jax.default_backend() == "tpu":
         return dtw_pallas(a, b, la, lb)
     return dtw_scan(a, b, la, lb)
+
+
+def dtw_full(a, b):
+    """Single-pair DTW with the full accumulated-cost matrix and the
+    optimal warping path (dtwco's ``dtw(x, y, dist_only=False)``,
+    consumed by the reference's cam-alignment analysis,
+    scripts/exploratory/dtw_grad_cam.py:17,66).
+
+    Returns (distance, cost_matrix (n, m), (path_x, path_y)) with the
+    path ordered from (0, 0) to (n-1, m-1).  Host numpy: path extraction
+    is a sequential backtrack over a single pair (cold analysis path);
+    the batched device kernels above remain the hot path for distances.
+    """
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    n, m = len(a), len(b)
+    D = np.full((n + 1, m + 1), np.inf)
+    D[0, 0] = 0.0
+    cost = np.abs(a[:, None] - b[None, :])
+    for i in range(1, n + 1):
+        D[i, 1:] = cost[i - 1]
+        prev = D[i - 1]
+        run = D[i]
+        for j in range(1, m + 1):
+            run[j] += min(prev[j], prev[j - 1], run[j - 1])
+    acc = D[1:, 1:]
+    # backtrack the optimal alignment
+    i, j = n - 1, m - 1
+    px, py = [i], [j]
+    while i > 0 or j > 0:
+        if i == 0:
+            j -= 1
+        elif j == 0:
+            i -= 1
+        else:
+            step = np.argmin(
+                (D[i, j], D[i, j + 1], D[i + 1, j])
+            )
+            if step == 0:
+                i -= 1
+                j -= 1
+            elif step == 1:
+                i -= 1
+            else:
+                j -= 1
+        px.append(i)
+        py.append(j)
+    return (
+        float(acc[n - 1, m - 1]),
+        acc,
+        (np.asarray(px[::-1]), np.asarray(py[::-1])),
+    )

@@ -229,3 +229,75 @@ def test_hetero_split_generation_and_breakdown(synthetic_cohort, tmp_path):
         row = stats[stats.patho == "ARDS"]
         if len(row) and not pd.isna(row.iloc[0].accuracy):
             assert row.iloc[0].accuracy == 1.0
+
+
+def test_dtw_full_matches_oracle_and_valid_path():
+    """dtw_full == the numpy DP oracle, with a valid monotone warping
+    path (dtwco dist_only=False surface, dtw_grad_cam.py:17,66)."""
+    from deepards_tpu.ops.dtw import dtw_full, dtw_numpy
+
+    rng = np.random.default_rng(4)
+    a = rng.normal(size=37)
+    b = rng.normal(size=29)
+    d, cost, (px, py) = dtw_full(a, b)
+    np.testing.assert_allclose(d, dtw_numpy(a, b), rtol=1e-12)
+    assert cost.shape == (37, 29)
+    np.testing.assert_allclose(cost[-1, -1], d)
+    # path: (0,0) -> (n-1, m-1), monotone non-decreasing, steps of <= 1
+    assert (px[0], py[0]) == (0, 0)
+    assert (px[-1], py[-1]) == (36, 28)
+    dx, dy = np.diff(px), np.diff(py)
+    assert ((dx >= 0) & (dx <= 1)).all()
+    assert ((dy >= 0) & (dy <= 1)).all()
+    assert ((dx + dy) >= 1).all()
+
+
+def test_dtw_cam_match_identical_breaths():
+    from deepards_tpu.explain.dtw_gradcam import dtw_cam_match
+
+    br = np.sin(np.linspace(0, 6, 64)).astype(np.float32)
+    cam = np.linspace(0, 255, 64)
+    res = dtw_cam_match(br, br, cam, cam, min_run=5)
+    assert res["distance"] == 0.0
+    # identical sequences -> pure diagonal path -> one lockstep run
+    assert len(res["runs"]) == 1
+    run = res["runs"][0]
+    assert run["cam_dist"] == 0
+    assert run["seq1"] == run["seq2"]
+    assert len(run["seq1"]) == 64
+    assert (res["cam_dists"] == 0).all()
+
+
+def test_find_similar_cam_regions(synthetic_cohort):
+    """Batched cam extraction + pairwise DTW alignment screen
+    (reference: scripts/exploratory/dtw_grad_cam.py:109-140)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepards_tpu.data.dataset import ARDSRawDataset
+    from deepards_tpu.explain.dtw_gradcam import find_similar_cam_regions
+    from deepards_tpu.explain.gradcam import MaxMinNormCam
+    from deepards_tpu.models.densenet1d import densenet18
+    from deepards_tpu.models.heads import CNNLinearNetwork
+
+    ds = ARDSRawDataset(
+        synthetic_cohort["data_path"], 1, synthetic_cohort["cohort_file"],
+        n_sub_batches=2, dataset_type="unpadded_centered_sequences",
+        kfold_num=0, total_kfolds=2,
+    )
+    model = CNNLinearNetwork(breath_block=densenet18())
+    x = jnp.asarray(ds.cache.data[:2])
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, None, True,
+    )["params"]
+    cam_gen = MaxMinNormCam(model, params)
+    pt = ds.get_ground_truth_df().patient.iloc[0]
+    pairs, dists = find_similar_cam_regions(
+        cam_gen, ds, pt, target=1, n_windows=2,
+        max_cam_dist=10**9, min_cam1_sum=-1,  # keep every run (smoke)
+    )
+    assert len(dists) > 0
+    assert pairs  # with no thresholds every run qualifies
+    run = pairs[0]["run"]
+    assert len(run["seq1"]) == len(run["seq2"]) > 5
