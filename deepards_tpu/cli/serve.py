@@ -15,7 +15,11 @@ raw .npz upload (array under key "data", optional "patients").
 Stdlib-only (http.server): no serving-framework dependency to pin, and
 the jitted fixed-shape forward means steady-state latency is one device
 dispatch.  Padding to the warm batch size keeps a single compiled
-program hot for any request size.
+program hot for any request size; the serving model uses per-sequence
+normalization statistics (bn_scope='sequence') so the zero pad rows
+cannot contaminate real windows.  Input scaling factors are REQUIRED
+(from a --scaling-pickle or the checkpoint's .scaling.json sidecar)
+unless --allow-unscaled explicitly opts out.
 """
 import argparse
 import io
@@ -31,7 +35,7 @@ class InferenceEngine:
 
     def __init__(self, checkpoint, network="cnn_linear",
                  base_network="densenet18", n_sub_batches=20,
-                 batch_size=16, scaling=None):
+                 batch_size=16, scaling=None, bn_scope="sequence"):
         import jax
         import jax.numpy as jnp
 
@@ -42,8 +46,16 @@ class InferenceEngine:
         )
         from deepards_tpu.train import checkpoint as ckpt
 
+        # bn_scope='sequence' by default: serving pads partial chunks to
+        # the warm batch size, and under bn_scope='batch' the all-zero
+        # pad rows would contaminate the batch-stat normalization of
+        # real windows (the same request would score differently by
+        # request size).  Per-sequence statistics are pad-immune; the
+        # vmap lift shares params, so a 'batch'-trained checkpoint
+        # restores unchanged.
         conf = Configuration(overrides={
             "base_network": base_network, "network": network,
+            "bn_scope": bn_scope,
         })
         spec = get_network_spec(network)
         self.model = spec.build(
@@ -52,11 +64,20 @@ class InferenceEngine:
         self.batch_size = batch_size
         self.n_sub_batches = n_sub_batches
         self.network = network
+        self.bn_scope = bn_scope
         self.scaling = scaling  # (mu, std) or None
 
         model = self.model
         params = self.params
-        mu, std = scaling if scaling else (0.0, 1.0)
+        if scaling:
+            mu = jnp.asarray(np.asarray(scaling[0], np.float32).ravel())
+            std = jnp.asarray(np.asarray(scaling[1], np.float32).ravel())
+            # broadcast over (N, S, C, L): scalar or per-channel factors
+            if mu.size > 1:
+                mu = mu.reshape(1, 1, -1, 1)
+                std = std.reshape(1, 1, -1, 1)
+        else:
+            mu, std = 0.0, 1.0
 
         @jax.jit
         def forward(data):
@@ -140,6 +161,8 @@ def make_handler(engine):
                     "network": engine.network,
                     "n_sub_batches": engine.n_sub_batches,
                     "batch_size": engine.batch_size,
+                    "bn_scope": engine.bn_scope,
+                    "scaled": engine.scaling is not None,
                 })
             else:
                 self._send(404, {"error": "unknown path"})
@@ -197,6 +220,16 @@ def main(argv=None):
     parser.add_argument("--scaling-pickle",
                         help="dataset cache whose train scaling factors "
                         "normalize incoming windows")
+    parser.add_argument("--bn-scope", default="sequence",
+                        choices=("sequence", "batch"),
+                        help="normalization scope for serving; 'sequence' "
+                        "(default) is pad-immune, 'batch' reproduces "
+                        "training-time whole-batch statistics but lets "
+                        "pad rows contaminate partial chunks")
+    parser.add_argument("--allow-unscaled", action="store_true",
+                        help="serve without input scaling factors "
+                        "(predictions from a pipeline-trained checkpoint "
+                        "will be WRONG; for debugging only)")
     args = parser.parse_args(argv)
 
     scaling = None
@@ -207,13 +240,26 @@ def main(argv=None):
         factors = getattr(ds, "scaling_factors", None)
         if factors:
             first = next(iter(factors.values()))
-            scaling = (float(first[0]), float(first[1]))
+            scaling = (np.asarray(first[0]), np.asarray(first[1]))
+    if scaling is None:
+        # checkpoints trained with --save-model embed their fold scaling
+        from deepards_tpu.train import checkpoint as ckpt
+
+        scaling = ckpt.load_scaling(args.checkpoint)
+    if scaling is None:
+        msg = ("no scaling factors: pass --scaling-pickle or use a "
+               "checkpoint with a .scaling.json sidecar; a checkpoint "
+               "trained through the normalization pipeline will serve "
+               "mis-scaled (wrong) predictions without them")
+        if not args.allow_unscaled:
+            parser.error(msg)
+        print("WARNING: {} (continuing: --allow-unscaled)".format(msg))
 
     engine = InferenceEngine(
         args.checkpoint, network=args.network,
         base_network=args.base_network,
         n_sub_batches=args.n_sub_batches, batch_size=args.batch_size,
-        scaling=scaling,
+        scaling=scaling, bn_scope=args.bn_scope,
     )
     engine.warm()
     server = serve(engine, args.host, args.port)

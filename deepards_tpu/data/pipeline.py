@@ -182,3 +182,31 @@ class BatchPipeline:
             fft_high=self.fft_high,
             zero_mu=self.zero_mu,
         )
+
+
+def gather_pipeline(dataset):
+    """Normalization for host-side gathered windows on explain/analysis
+    surfaces.
+
+    ``ARDSRawDataset.gather`` returns RAW rows (normalization/filtering
+    runs on device inside the train step), but the reference scales in
+    ``dataset.__getitem__`` BEFORE GradCam/prototype analysis sees the
+    data (reference: deepards/dataset.py:1364-1375).  Every consumer
+    that feeds gathered windows straight to ``model.apply`` must route
+    them through this first, or a trained checkpoint runs on inputs at a
+    different scale than training.  ImgARDSDataset normalizes inside its
+    own ``gather``, so it maps to identity.
+    """
+    if getattr(dataset, "images", None) is not None:
+        return lambda x: np.asarray(x, np.float32)
+    pipe = BatchPipeline(dataset)
+
+    def apply(x):
+        x = np.asarray(x, np.float32)
+        squeeze = x.ndim == 3  # single (S, C, L) window
+        if squeeze:
+            x = x[None]
+        out = np.asarray(pipe(jnp.asarray(x)))
+        return out[0] if squeeze else out
+
+    return apply

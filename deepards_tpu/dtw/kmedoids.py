@@ -93,9 +93,18 @@ class KMedoids:
             in_cluster_costs = D[np.ix_(members, members)].sum(axis=1)
             min_idx = int(np.argmin(in_cluster_costs))
             min_cost = in_cluster_costs[min_idx]
-            curr_cost = in_cluster_costs[
-                int(np.argmax(members == medoids[k]))
-            ]
+            pos = np.nonzero(members == medoids[k])[0]
+            if len(pos):
+                curr_cost = in_cluster_costs[int(pos[0])]
+            else:
+                # A medoid can leave its own cluster when distance ties
+                # (e.g. duplicated points) make argmin assign it to a
+                # lower-indexed cluster.  The reference's vendored
+                # estimator (mediods.py:248-250) takes
+                # argmax(all-False) == 0 and silently costs the medoid
+                # as members[0]; reproduce that deliberately so medoid
+                # sets stay bit-identical on tied fixtures.
+                curr_cost = in_cluster_costs[0]
             if min_cost < curr_cost:
                 medoids[k] = members[min_idx]
 

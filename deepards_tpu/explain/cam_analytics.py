@@ -129,11 +129,16 @@ def frequency_band_analytics(cams_by_patho, fs=50.0):
 
 
 def collect_cams(cam_generator, dataset, max_windows=64):
-    """Cam matrix over the dataset's current windows + index map."""
+    """Cam matrix over the dataset's current windows + index map.
+    Windows run through the fold pipeline first — cams must see inputs
+    at the scale the checkpoint was trained at."""
+    from deepards_tpu.data.pipeline import gather_pipeline
+
+    pipeline = gather_pipeline(dataset)
     gt = dataset.get_ground_truth_df()
     X, seq_map, pathos = [], [], []
     for idx in gt.index[:max_windows]:
-        window = dataset.cache.data[int(idx)]
+        window = pipeline(dataset.cache.data[int(idx)])
         target = int(gt.loc[int(idx)].y)
         cam, _ = cam_generator.generate_cam(window, target)
         X.append(np.asarray(cam, np.float64))

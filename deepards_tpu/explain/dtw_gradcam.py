@@ -50,11 +50,14 @@ def dtw_cam_match(br1, br2, cam1, cam2, min_run=5):
     with cam_dist <= 15 and sum(cam1[run]) > 100,
     dtw_grad_cam.py:136-139)."""
     d, cost, (px, py) = dtw_full(br1, br2)
-    matches = {}
-    for x, y in zip(px, py):
-        matches.setdefault(int(x), int(y))
-    cam1 = np.asarray(cam1).ravel().astype(np.int64)
-    cam2 = np.asarray(cam2).ravel().astype(np.int64)
+    # last-match-wins: the reference builds matches with a dict
+    # comprehension, so a br1 index revisited by a vertical path move
+    # keeps its LAST br2 partner (dtw_grad_cam.py:69 {pathx[i]: pathy[i]})
+    matches = {int(x): int(y) for x, y in zip(px, py)}
+    # cams stay float: UnNormalizedCam emits sub-integer raw cams that an
+    # integer cast would truncate to 0, voiding the cam_dist screen
+    cam1 = np.asarray(cam1, np.float64).ravel()
+    cam2 = np.asarray(cam2, np.float64).ravel()
     cam_dists = np.asarray([
         abs(cam1[i] - cam2[matches[i]]) for i in sorted(matches)
     ])
@@ -64,10 +67,10 @@ def dtw_cam_match(br1, br2, cam1, cam2, min_run=5):
         runs.append({
             "seq1": run,
             "seq2": match2,
-            "cam_dist": int(sum(
+            "cam_dist": float(sum(
                 abs(cam1[i] - cam2[matches[i]]) for i in run
             )),
-            "cam1_sum": int(cam1[run].sum()),
+            "cam1_sum": float(cam1[run].sum()),
         })
     return {
         "distance": d,
@@ -89,13 +92,19 @@ def find_similar_cam_regions(cam_gen, dataset, patient_id, target,
     UnNormalized); all sampled windows' cams run in ONE device dispatch.
     Returns (pairs, all_cam_dists).
     """
+    from deepards_tpu.data.pipeline import gather_pipeline
+
     rng = rng or np.random.default_rng(0)
     gt = dataset.get_ground_truth_df()
     rows = gt[gt.patient == patient_id]
     idxs = rows.index.to_numpy()
     take = min(n_windows, len(idxs))
     pick = rng.choice(idxs, size=take, replace=False)
-    data = dataset.gather(pick)["data"]  # (W, S, C, L)
+    # fold-pipeline normalization first: the cams must run at the scale
+    # the checkpoint was trained at (reference scales in __getitem__)
+    data = gather_pipeline(dataset)(
+        dataset.gather(pick)["data"]
+    )  # (W, S, C, L)
     cams, _ = cam_gen.generate_read_cams_batch(
         data, np.full(len(data), target)
     )  # (W, S, L')

@@ -13,9 +13,13 @@ import pandas as pd
 
 class ExplainerComparison:
     def __init__(self, dataset, results):
+        from deepards_tpu.data.pipeline import gather_pipeline
+
         self.dataset = dataset
         self.results = results
         self.gt = dataset.get_ground_truth_df()
+        # cams run on pipeline-normalized inputs (training scale)
+        self.pipeline = gather_pipeline(dataset)
 
     def correctly_classified_patients(self):
         latest = self.results.results[
@@ -30,7 +34,7 @@ class ExplainerComparison:
         rows = self.gt[self.gt.patient == patient_id]
         out = []
         for idx in rows.index[:max_windows]:
-            window = self.dataset.cache.data[int(idx)]
+            window = self.pipeline(self.dataset.cache.data[int(idx)])
             target = int(rows.loc[idx].y)
             cam, _ = cam_generator.generate_cam(window, target)
             out.append({

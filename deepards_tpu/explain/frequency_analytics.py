@@ -117,8 +117,13 @@ def collect_study_cams(
     """
     rng = np.random.default_rng(seed)
     study = StudyCams()
+    from deepards_tpu.data.pipeline import gather_pipeline
+
     for fold, params in params_by_fold.items():
         dataset.set_kfold_indexes_for_fold(fold)
+        # cams must see pipeline-normalized inputs (the scale the fold's
+        # checkpoint was trained at; reference scales in __getitem__)
+        pipeline = gather_pipeline(dataset)
         gen = cam_factory(params)
         gt = dataset.get_ground_truth_df()
         n = min(n_samps, len(gt))
@@ -129,7 +134,7 @@ def collect_study_cams(
             picks = [int(gt.index[p]) for p in picks]
         for idx in picks:
             idx = int(idx)
-            window = dataset.cache.data[idx]
+            window = pipeline(dataset.cache.data[idx])
             truth = int(gt.loc[idx].y)
             cam, out = gen.generate_cam(window, truth)
             cam = cam_process(cam, target_len, normalize)
@@ -305,14 +310,16 @@ def splice_experiment(cam_factory, dataset, params_by_fold, study, freqs,
         ex = np.exp(out - out.max())
         if (ex / ex.sum())[1] <= conf:
             continue
+        from deepards_tpu.data.pipeline import gather_pipeline
+
         fold, idx = study.kfold_idxs[1][i]
         dataset.set_kfold_indexes_for_fold(fold)
-        seq = dataset.cache.data[idx]
+        seq = gather_pipeline(dataset)(dataset.cache.data[idx])
         o_fold, o_idx = study.kfold_idxs[0][
             int(rng.integers(0, len(study.kfold_idxs[0])))
         ]
         dataset.set_kfold_indexes_for_fold(o_fold)
-        other = dataset.cache.data[o_idx]
+        other = gather_pipeline(dataset)(dataset.cache.data[o_idx])
         gen = cam_factory(params_by_fold[o_fold])
         _, out_before = gen.generate_cam(other, 0)
         spliced = splice_frequencies(other, seq, freq_mask)
@@ -395,11 +402,10 @@ def butterworth_1d_analytics(cam_factory, dataset, dataset_no_filter,
         for tag, dat in (("filtered", dataset),
                          ("no_filter", dataset_no_filter)):
             dat.set_kfold_indexes_for_fold(fold)
+            # prototypes plot in physical units; cache rows are ALREADY
+            # raw (normalization happens on device), so no unscale — the
+            # reference unscales only because its loader output is scaled
             seq = np.asarray(dat.cache.data[idx], np.float64)
-            mu, std = dat.scaling_factors[fold]
-            seq = seq * np.asarray(std).reshape(1, -1, 1) + np.asarray(
-                mu
-            ).reshape(1, -1, 1)
             protos[(patho, tag)] = np.median(seq, axis=0).ravel()
         protos[(patho, "mean_cam")] = np.nanmean(cams, axis=0).ravel()
 
@@ -493,16 +499,22 @@ def one_two_d_comparison(cam_factory_1d, cam_factory_2d, dataset_1d,
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     pngs = []
+    from deepards_tpu.data.pipeline import gather_pipeline
+
     for fold in sorted(params_1d):
         dataset_1d.set_kfold_indexes_for_fold(fold)
         dataset_2d.set_kfold_indexes_for_fold(fold)
+        pipe1 = gather_pipeline(dataset_1d)
+        pipe2 = gather_pipeline(dataset_2d)
         g1 = cam_factory_1d(params_1d[fold])
         g2 = cam_factory_2d(params_2d[fold])
         gt = dataset_1d.get_ground_truth_df()
         for _ in range(max(1, n_pairs // len(params_1d))):
             idx = int(gt.index[int(rng.integers(0, len(gt)))])
-            seq1 = dataset_1d.cache.data[idx]
-            seq2 = dataset_2d.cache.data[idx % len(dataset_2d.cache.data)]
+            seq1 = pipe1(dataset_1d.cache.data[idx])
+            seq2 = pipe2(
+                dataset_2d.cache.data[idx % len(dataset_2d.cache.data)]
+            )
             target = int(gt.loc[idx].y)
             breath_n = int(rng.integers(0, seq1.shape[0]))
             cam1, _ = g1.generate_read_cam(seq1, target)

@@ -40,11 +40,18 @@ PATHO_NAME = {0: "non_ards", 1: "ards"}
 class PatientGradCam:
     def __init__(self, model, params, dataset, results_dir="gradcam_results",
                  cam_cls=MaxMinNormCam, target="ground_truth"):
+        from deepards_tpu.data.pipeline import gather_pipeline
+
         self.cam = cam_cls(model, params)
         self.dataset = dataset
         self.results_dir = results_dir
         self.gt = dataset.get_ground_truth_df()
         self.target = target
+        # dataset.gather returns RAW rows; the model was trained on
+        # pipeline-normalized inputs, and the reference scales in
+        # __getitem__ before any cam runs (dataset.py:1364-1375) — every
+        # gather below goes through the fold's pipeline first
+        self.pipeline = gather_pipeline(dataset)
 
     def get_target(self, ground_truth):
         """Cam target class list for one patient
@@ -96,9 +103,16 @@ class PatientGradCam:
                     bbox_inches="tight")
         plt.close(fig)
 
+    def _gather(self, idx):
+        """Gather + fold-pipeline normalization (the scale the model was
+        trained at)."""
+        batch = dict(self.dataset.gather(np.asarray(idx)))
+        batch["data"] = self.pipeline(batch["data"])
+        return batch
+
     def _patient_data(self, patient_id):
         idx = self._patient_rows(patient_id).index.to_numpy()
-        return self.dataset.gather(idx)
+        return self._gather(idx)
 
     # -- batched cam helpers -------------------------------------------------
 
@@ -165,7 +179,7 @@ class PatientGradCam:
                               size=min(n, len(rows)), replace=False)
             for target in self.get_target(rows.y.iloc[0]):
                 for i, idx in enumerate(pick):
-                    window = self.dataset.gather([idx])["data"][0]
+                    window = self._gather([idx])["data"][0]
                     cam, _ = self.cam.generate_cam(window, target)
                     breath = window.reshape(-1)[: window.shape[-1]]
                     self._save("sample_seqs", pt, breath, cam,
@@ -178,7 +192,7 @@ class PatientGradCam:
         for pt in self.gt.patient.unique():
             rows = self._patient_rows(pt)
             idx = int(rng.choice(rows.index.to_numpy()))
-            window = self.dataset.gather([idx])["data"][0]
+            window = self._gather([idx])["data"][0]
             target = self.get_target(rows.y.iloc[0])[0]
             cams, _ = self.cam.generate_read_cam(window, target)
             for b in range(min(3, cams.shape[0])):
@@ -206,7 +220,7 @@ class PatientGradCam:
             if n_sequences_per_hour is not None:
                 take = min(n_sequences_per_hour, len(idxs))
                 idxs = rng.choice(idxs, size=take, replace=False)
-            data = self.dataset.gather(idxs)["data"]  # (B, S, C, L)
+            data = self._gather(idxs)["data"]  # (B, S, C, L)
             for target in self.get_target(rows.y.iloc[0]):
                 # all B*S single-sequence cams in batched dispatches
                 breaths = data.reshape(-1, *data.shape[2:])
@@ -255,7 +269,7 @@ class PatientGradCam:
             picks.append((abs_idx, br_idx, target))
 
         # every pane's 16 cams in one batched dispatch
-        windows = self.dataset.gather([p[0] for p in picks])["data"]
+        windows = self._gather([p[0] for p in picks])["data"]
         breaths = np.stack([
             windows[i, b] for i, (_, b, _) in enumerate(picks)
         ])
@@ -384,7 +398,7 @@ class PatientGradCam:
         for pt in self.gt.patient.unique():
             rows = self._patient_rows(pt)
             idxs = rows.index.to_numpy()
-            data = self.dataset.gather(idxs)["data"]  # (B, S, C, L)
+            data = self._gather(idxs)["data"]  # (B, S, C, L)
             for target in self.get_target(rows.y.iloc[0]):
                 dirname = os.path.join(
                     self.results_dir, "dtw_clustering",

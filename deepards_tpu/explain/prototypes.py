@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from deepards_tpu.data.pipeline import gather_pipeline
 from deepards_tpu.models.protopnet1d import compute_rf_boundaries
 
 
@@ -39,6 +40,9 @@ class PrototypeVisualizer:
         self.results_dir = results_dir
         self.fname_prefix = fname_prefix
         self.rf_info = model.proto_layer_rf_info(dataset.seq_len)
+        # prototypes were pushed onto PIPELINED windows; display the
+        # breath at the scale the prototype actually saw
+        self.pipeline = gather_pipeline(dataset)
 
     def viz_prototypes(self, push_info, epoch_num=0):
         os.makedirs(self.results_dir, exist_ok=True)
@@ -51,7 +55,9 @@ class PrototypeVisualizer:
                 continue
             widx = info["window_index"]
             flat_pos = info["flat_pos"]
-            window = self.dataset.cache.data[widx]  # (S, C, L)
+            window = self.pipeline(
+                self.dataset.cache.data[widx]
+            )  # (S, C, L), fold-normalized like the push inputs
             # flat_pos indexes (S * L'') patch positions
             lpp = None
             # infer L'' from rf_info n_out
@@ -91,10 +97,11 @@ def prototype_activation_frame(model, params, dataset, batch_size=16):
     import pandas as pd
 
     idxs = dataset.current_indices()
+    pipeline = gather_pipeline(dataset)
     rows = []
     for start in range(0, len(idxs), batch_size):
         chunk = idxs[start : start + batch_size]
-        data = jnp.asarray(dataset.cache.data[chunk])
+        data = jnp.asarray(pipeline(dataset.cache.data[chunk]))
         logits, min_d = model.apply(
             {"params": params}, data, None, True,
             rngs={"dropout": jax.random.PRNGKey(0)},
@@ -138,12 +145,17 @@ class ProtoPNetAnalysis:
         self.params = params
         self.train_ds = train_dataset
         self.test_ds = test_dataset
+        # the head was trained on pipeline-normalized inputs (the
+        # reference scales in __getitem__, dataset.py:1364-1375); raw
+        # cache rows would yield features at the wrong scale
+        self.train_pipe = gather_pipeline(train_dataset)
+        self.test_pipe = gather_pipeline(test_dataset)
         self.train_gt = train_dataset.get_ground_truth_df()
         self.test_gt = test_dataset.get_ground_truth_df()
         self.coefs = np.asarray(params["last_layer"]["kernel"])  # (F, 2)
         self.feature_names = self._make_feature_names()
-        tr = self._gather(train_dataset, batch_size)
-        te = self._gather(test_dataset, batch_size)
+        tr = self._gather(train_dataset, self.train_pipe, batch_size)
+        te = self._gather(test_dataset, self.test_pipe, batch_size)
         self.train_features = pd.DataFrame(
             tr, columns=self.feature_names, index=self.train_gt.index)
         self.test_features = pd.DataFrame(
@@ -160,15 +172,16 @@ class ProtoPNetAnalysis:
             for i in range(self.coefs.shape[0])
         ]
 
-    def _gather(self, dataset, batch_size):
+    def _gather(self, dataset, pipeline, batch_size):
         """Last-layer input features per window: the prototype
         similarities exactly as the head consumes them
-        (reference seq_forward outputs, model.py:260-266)."""
+        (reference seq_forward outputs, model.py:260-266), computed on
+        pipeline-normalized inputs like training."""
         idxs = dataset.current_indices()
         feats = []
         for start in range(0, len(idxs), batch_size):
             chunk = idxs[start: start + batch_size]
-            data = jnp.asarray(dataset.cache.data[chunk])
+            data = jnp.asarray(pipeline(dataset.cache.data[chunk]))
             _, min_d = self.model.apply(
                 {"params": self.params}, data, None, True,
                 rngs={"dropout": jax.random.PRNGKey(0)},
@@ -233,7 +246,9 @@ class ProtoPNetAnalysis:
         pick = int(rng.choice(order))
         p = self.model.num_prototypes
         breath_n, proto_n = pick // p, pick % p
-        window = self.test_ds.gather([idx])["data"][0]  # (S, C, L)
+        window = self.test_pipe(
+            self.test_ds.gather([idx])["data"]
+        )[0]  # (S, C, L), fold-normalized
         if self.model.average_linear:
             # features are per-prototype; locate its best breath
             proto_n = pick

@@ -13,7 +13,7 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
-def save(path, state, conf=None, resume_meta=None):
+def save(path, state, conf=None, resume_meta=None, scaling=None):
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     payload = {
@@ -24,6 +24,15 @@ def save(path, state, conf=None, resume_meta=None):
     }
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
+    if scaling is not None:
+        # (mu, std) of the training fold, embedded so inference surfaces
+        # (cli/serve.py) can normalize inputs without the dataset pickle
+        mu, std = scaling
+        with open(path + ".scaling.json", "w") as f:
+            json.dump({
+                "mu": np.asarray(mu, np.float64).ravel().tolist(),
+                "std": np.asarray(std, np.float64).ravel().tolist(),
+            }, f)
     if resume_meta is not None:
         # mid-epoch resume bookkeeping: fold/epoch/next-batch + the exact
         # epoch permutation, so resumption replays the remaining batches
@@ -44,6 +53,17 @@ def save(path, state, conf=None, resume_meta=None):
                 indent=2,
             )
     return path
+
+
+def load_scaling(path):
+    """Scaling sidecar saved next to a checkpoint (None if absent)."""
+    p = os.path.abspath(path) + ".scaling.json"
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        d = json.load(f)
+    return (np.asarray(d["mu"], np.float32),
+            np.asarray(d["std"], np.float32))
 
 
 def load_resume_meta(path):

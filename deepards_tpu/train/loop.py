@@ -315,6 +315,13 @@ class Trainer:
                     print("--- Run Fold {} ---".format(fold_num + 1))
                 train_dataset.set_kfold_indexes_for_fold(fold_num)
                 test_dataset.set_kfold_indexes_for_fold(fold_num)
+            try:
+                # fold scaling rides along into checkpoint sidecars so
+                # serving can normalize without the dataset pickle
+                self._current_scaling = \
+                    train_dataset.scaling_for_current_fold()
+            except (AttributeError, KeyError):
+                self._current_scaling = None
             self.run_fold(
                 fold_num, train_dataset, test_dataset, tx
             )
@@ -514,12 +521,41 @@ class Trainer:
             caches.move_to_end(key)
         return caches[key]
 
-    def _device_epoch_scan(self, train_step, with_meta):
-        fns = getattr(self, "_dev_epoch_fns", None)
+    _SCAN_CACHE_MAX_ENTRIES = 4
+
+    def _scan_cache_lookup(self, attr, step_fn, with_meta):
+        """Compiled-closure cache keyed on the step function's monotonic
+        ``scan_token`` (stamped by make_train_step) — the same
+        generation-token scheme as the device data caches, replacing the
+        GC-recyclable id() keys.  Entries hold a strong reference to the
+        step function and verify identity on hit, so a recycled object
+        can never alias a stale compiled closure."""
+        from collections import OrderedDict
+
+        fns = getattr(self, attr, None)
         if fns is None:
-            fns = self._dev_epoch_fns = {}
-        key = (id(train_step), with_meta)
-        if key not in fns:
+            fns = OrderedDict()
+            setattr(self, attr, fns)
+        key = (getattr(step_fn, "scan_token", None), with_meta)
+        entry = fns.get(key)
+        if entry is not None and (
+            key[0] is None or entry[0] is not step_fn
+        ):
+            entry = None  # untokened or collided: rebuild
+        if entry is not None:
+            fns.move_to_end(key)
+        return fns, key, entry
+
+    def _scan_cache_store(self, fns, key, step_fn, compiled):
+        fns[key] = (step_fn, compiled)
+        while len(fns) > self._SCAN_CACHE_MAX_ENTRIES:
+            fns.popitem(last=False)
+        return compiled
+
+    def _device_epoch_scan(self, train_step, with_meta):
+        fns, key, entry = self._scan_cache_lookup(
+            "_dev_epoch_fns", train_step, with_meta)
+        if entry is None:
             import functools
 
             batch_sh = mesh_lib.batch_sharding(self.mesh)
@@ -557,8 +593,8 @@ class Trainer:
                         return s, loss
 
                     return jax.lax.scan(body, state, (perm, masks))
-            fns[key] = epoch_scan
-        return fns[key]
+            return self._scan_cache_store(fns, key, train_step, epoch_scan)
+        return entry[1]
 
     def _run_train_epoch_device_cache(self, state, train_step, dataset,
                                       fold_num, epoch_num):
@@ -792,13 +828,27 @@ class Trainer:
                 )
             return state
 
+        # checkpoint/test-gating parity with the standard path: the
+        # reference checkpoints EVERY network type per epoch/at end
+        # (reference: train_ards_detector.py:355-374)
         epochs = conf.get("epochs", 10)
-        for epoch_num in range(1, epochs + 1):
+        start_epoch = 1
+        resume = getattr(self, "resume_meta", None)
+        if resume and resume["fold"] == fold_num:
+            start_epoch = resume["epoch"]
+        for epoch_num in range(start_epoch, epochs + 1):
             if not conf.get("no_train"):
                 state = run_epoch(state, train_dataset, True, fold_num,
                                   epoch_num)
-            state = run_epoch(state, test_dataset, False, fold_num,
-                              epoch_num)
+            if not conf.get("no_test_after_epochs") or epoch_num == epochs:
+                state = run_epoch(state, test_dataset, False, fold_num,
+                                  epoch_num)
+            if conf.get("save_model_per_epoch") and conf.get("save_model"):
+                self.save_checkpoint(state, fold_num, epoch_num)
+        if conf.get("save_model"):
+            self.save_checkpoint(state, fold_num, None)
+        if resume and resume["fold"] == fold_num:
+            self.resume_meta = None
         self.final_state = state
         return state
 
@@ -1007,11 +1057,9 @@ class Trainer:
         return state
 
     def _device_eval_scan(self, eval_step, with_meta):
-        fns = getattr(self, "_dev_eval_fns", None)
-        if fns is None:
-            fns = self._dev_eval_fns = {}
-        key = (id(eval_step), with_meta)
-        if key not in fns:
+        fns, key, entry = self._scan_cache_lookup(
+            "_dev_eval_fns", eval_step, with_meta)
+        if entry is None:
             batch_sh = mesh_lib.batch_sharding(self.mesh)
 
             def shard(tree):
@@ -1032,8 +1080,8 @@ class Trainer:
 
                 return jax.lax.scan(body, state, (perm, masks))
 
-            fns[key] = eval_scan
-        return fns[key]
+            return self._scan_cache_store(fns, key, eval_step, eval_scan)
+        return entry[1]
 
     def _run_test_epoch_device_cache(self, state, eval_step, dataset,
                                      fold_num, epoch_num):
@@ -1185,4 +1233,5 @@ class Trainer:
         return checkpoint.save(
             os.path.join(out_dir, name), state, self.conf,
             resume_meta=resume_meta,
+            scaling=getattr(self, "_current_scaling", None),
         )

@@ -83,6 +83,18 @@ class NestedTrainer(Trainer):
             ),
             step=jnp.zeros((), jnp.int32),
         )
+        if conf.get("load_checkpoint"):
+            # full-state resume, same contract as the standard path
+            # (reference loads checkpoints for every network type,
+            # train_ards_detector.py:467-469)
+            from deepards_tpu.train import checkpoint
+
+            restored = checkpoint.restore(conf.load_checkpoint, state)
+            state = state.replace(
+                params=restored["params"],
+                opt_state=restored["opt_state"],
+                rng=restored["rng"], step=restored["step"],
+            )
         state = mesh_lib.replicate_tree(self.mesh, state)
         loss_fn = self.loss_fn
         compute_dtype = self.compute_dtype
@@ -131,22 +143,39 @@ class NestedTrainer(Trainer):
             loss, out = loss_wrap(state.params, data, target, wmask, drng)
             return state.replace(rng=rng), loss, out
 
+        # checkpoint/test-gating parity with the standard path
+        # (reference: train_ards_detector.py:355-374)
         epochs = conf.get("epochs", 10)
-        for epoch_num in range(1, epochs + 1):
-            order = self.host_rng.permutation(len(groups))
-            for gi in order:
-                pt, idxs, y = groups[gi]
-                data, wmask = self._gather_super_batch(train_dataset, idxs)
-                target = jnp.asarray(np.eye(2, dtype=np.float32)[y][None])
-                state, loss = train_step(
-                    state, jnp.asarray(data), target, jnp.asarray(wmask)
+        start_epoch = 1
+        resume = getattr(self, "resume_meta", None)
+        if resume and resume["fold"] == fold_num:
+            start_epoch = resume["epoch"]
+        for epoch_num in range(start_epoch, epochs + 1):
+            if not conf.get("no_train"):
+                order = self.host_rng.permutation(len(groups))
+                for gi in order:
+                    pt, idxs, y = groups[gi]
+                    data, wmask = self._gather_super_batch(
+                        train_dataset, idxs)
+                    target = jnp.asarray(
+                        np.eye(2, dtype=np.float32)[y][None])
+                    state, loss = train_step(
+                        state, jnp.asarray(data), target,
+                        jnp.asarray(wmask)
+                    )
+                    self.results.update_loss(fold_num, float(loss))
+                    if conf.get("debug"):
+                        break
+            if not conf.get("no_test_after_epochs") or epoch_num == epochs:
+                state = self._nested_test_epoch(
+                    state, eval_step, test_dataset, fold_num, epoch_num
                 )
-                self.results.update_loss(fold_num, float(loss))
-                if conf.get("debug"):
-                    break
-            state = self._nested_test_epoch(
-                state, eval_step, test_dataset, fold_num, epoch_num
-            )
+            if conf.get("save_model_per_epoch") and conf.get("save_model"):
+                self.save_checkpoint(state, fold_num, epoch_num)
+        if conf.get("save_model"):
+            self.save_checkpoint(state, fold_num, None)
+        if resume and resume["fold"] == fold_num:
+            self.resume_meta = None
         self.final_state = state
         return state
 

@@ -8,12 +8,16 @@ clamping is elementwise (optax.clip == the reference's per-parameter
 optimizer ordering.
 """
 import functools
+import itertools
 from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
+
+
+_STEP_TOKENS = itertools.count(1)
 
 
 class TrainState(struct.PyTreeNode):
@@ -221,4 +225,12 @@ def make_train_step(
 
         return jax.lax.scan(body, state, (stacked_batch, stacked_mask))
 
+    # Monotonic identity tokens for downstream compiled-closure caches
+    # (train/loop.py scan caches).  id()-keyed caches can alias after GC
+    # recycles an address; a process-unique token plus the strong
+    # reference the cache holds makes that structurally impossible —
+    # same scheme as the WindowCache generation token.
+    token = next(_STEP_TOKENS)
+    for fn in (train_step, eval_step, train_scan, eval_scan):
+        fn.scan_token = token
     return train_step, eval_step, train_scan, eval_scan

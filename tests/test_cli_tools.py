@@ -305,6 +305,25 @@ def test_serve_inference(trained_run):
         assert votes["a"]["n_windows"] == 2
         assert votes["b"]["prediction"] in (0, 1)
 
+        # serving BN is per-sequence (pad-immune): the same window must
+        # score identically alone (padded with zeros to the warm batch)
+        # and inside a larger request (ADVICE round-3 high #2)
+        assert engine.bn_scope == "sequence"
+        one = engine.predict(np.asarray(data, np.float32)[0])
+        np.testing.assert_allclose(
+            one[0],
+            np.asarray([resp["prob_other"][0], resp["prob_ards"][0]]),
+            atol=1e-5,
+        )
+
+        # the trained checkpoint carries its fold scaling sidecar so
+        # main() can normalize without the dataset pickle
+        from deepards_tpu.train.checkpoint import load_scaling
+        sc = load_scaling(ckpt)
+        assert sc is not None
+        mu, std = sc
+        assert np.all(np.asarray(std) > 0)
+
         # malformed request -> 400 with an error payload, not a crash
         bad = urllib.request.Request(
             base + "/predict", data=b"{}",

@@ -113,6 +113,42 @@ def test_kmedoids_matches_reference_mediods():
                                    rtol=1e-9)
 
 
+def test_kmedoids_duplicate_point_ties_match_reference():
+    """Medoid-adoption edge: duplicated points create zero-distance ties
+    that can pull a medoid out of its own cluster (argmin assigns it to
+    a lower-indexed cluster).  The reference's vendored estimator then
+    costs the absent medoid as members[0] (mediods.py:248-250 argmax
+    over an all-False mask); our defensive lookup reproduces that quirk
+    deliberately — this fixture pins bit-identity on such ties."""
+    import importlib.util
+
+    from deepards_tpu.dtw.kmedoids import KMedoids
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_mediods_ties", "/root/reference/deepards/mediods.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        base = rng.normal(size=(12, 2))
+        # heavy duplication: every point appears 2-3 times
+        reps = rng.integers(2, 4, size=len(base))
+        pts = np.repeat(base, reps, axis=0)
+        rng.shuffle(pts)
+        D = np.sqrt(((pts[:, None] - pts[None]) ** 2).sum(-1))
+        for k in (2, 3, 5):
+            ours = KMedoids(k, metric="precomputed").fit(D)
+            import warnings as _w
+            with _w.catch_warnings():
+                _w.simplefilter("ignore")
+                theirs = ref.KMedoids(k, metric="precomputed").fit(D)
+            np.testing.assert_array_equal(
+                np.asarray(ours.medoid_indices_),
+                np.asarray(theirs.medoid_indices_))
+            np.testing.assert_array_equal(ours.labels_, theirs.labels_)
+
+
 def test_kmedoids_precomputed():
     from deepards_tpu.dtw.kmedoids import KMedoids
 

@@ -294,9 +294,15 @@ def test_protopnet_analysis(synthetic_cohort, tmp_path):
 
     # the transplanted-linear probe IS the model head (bias-free Dense):
     # probe softmax must equal the model's own softmax on the same batch
+    # of PIPELINE-NORMALIZED inputs (the scale training uses — the
+    # analysis must never feed raw cache rows, ADVICE round-3)
+    from deepards_tpu.data.pipeline import gather_pipeline
+
     idxs = test.current_indices()
     logits, _ = model.apply(
-        {"params": params}, jnp.asarray(test.cache.data[idxs]), None, True,
+        {"params": params},
+        jnp.asarray(gather_pipeline(test)(test.cache.data[idxs])),
+        None, True,
         rngs={"dropout": jax.random.PRNGKey(0)},
     )
     want = np.asarray(jax.nn.softmax(logits, axis=-1))

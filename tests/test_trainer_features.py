@@ -124,6 +124,58 @@ def test_device_cache_no_alias_across_datasets(synthetic_cohort, tmp_path):
     assert trainer._get_device_cache(train_ds) is not dev1
 
 
+def test_scan_cache_no_alias_across_step_fns(synthetic_cohort, tmp_path):
+    """The compiled epoch-scan caches must key on the step functions'
+    monotonic scan_token (not id()), mirror of the device-cache aliasing
+    test: two step functions from separate make_train_step calls get
+    distinct compiled closures, hits return the same closure, and an
+    untokened function never poisons the cache (round-3 weak #5)."""
+    import jax.numpy as jnp
+    import optax
+
+    from deepards_tpu.train.steps import make_train_step
+
+    conf = _conf(synthetic_cohort, tmp_path)
+    trainer = make_trainer(conf, verbose=False)
+    trainer.get_base_datasets()
+    model = trainer.build_model()
+    tx = optax.sgd(1e-3)
+
+    def make():
+        return make_train_step(
+            model, tx, trainer.loss_fn,
+            target_mode=trainer.spec.target_mode,
+        )
+
+    t1, e1, *_ = make()
+    t2, e2, *_ = make()
+    assert t1.scan_token != t2.scan_token
+    s1 = trainer._device_epoch_scan(t1, False)
+    s2 = trainer._device_epoch_scan(t2, False)
+    assert s1 is not s2
+    assert trainer._device_epoch_scan(t1, False) is s1
+    v1 = trainer._device_eval_scan(e1, False)
+    assert trainer._device_eval_scan(e1, False) is v1
+    assert trainer._device_eval_scan(e2, False) is not v1
+
+    # an untokened step function is rebuilt every time, never cached
+    # under a colliding key
+    def bare_step(s, b, m):
+        return s, jnp.zeros(())
+
+    b1 = trainer._device_epoch_scan(bare_step, False)
+    b2 = trainer._device_epoch_scan(bare_step, False)
+    assert b1 is not b2
+    # and the tokened entries survived untouched
+    assert trainer._device_epoch_scan(t1, False) is s1
+
+    # LRU bound: the cache never grows past the cap
+    steps = [make() for _ in range(6)]
+    for t, *_ in steps:
+        trainer._device_epoch_scan(t, False)
+    assert len(trainer._dev_epoch_fns) <= trainer._SCAN_CACHE_MAX_ENTRIES
+
+
 def test_checkpoint_save_and_reload(synthetic_cohort, tmp_path):
     saved = str(tmp_path / "models")
     conf = _conf(
