@@ -54,7 +54,11 @@ class ImgARDSDataset:
         self._make_images()
         if self.train:
             self.derive_scaling_factors()
-        if bbox and self.train:
+        if bbox:
+            # both splits get band splices: the reference's
+            # make_bbox_dataset splices whichever split the dataset holds
+            # (dataset.py:1776-1825), which is what makes a HELD-OUT
+            # detection metric possible
             self.make_bbox_dataset()
         if same_patho_mix and self.train:
             self.make_patho_mix_dataset()
@@ -290,7 +294,8 @@ class ImgARDSDataset:
         idx = np.asarray(absolute_indices, np.int64)
         source = (
             self.mixed_images
-            if (self.mixed_images is not None and self.train and not raw)
+            if (self.mixed_images is not None and not raw
+                and (self.train or self.bbox))
             else self.images
         )
         data = source[idx]

@@ -107,52 +107,102 @@ class DetectorTrainer(Trainer):
             loss, logits = loss_wrap(state.params, data, row_targets, drng)
             return state.replace(rng=rng), loss, logits
 
+        if conf.get("load_checkpoint"):
+            # full-state resume, same contract as the standard path
+            from deepards_tpu.train import checkpoint
+
+            restored = checkpoint.restore(conf.load_checkpoint, state)
+            state = state.replace(
+                params=restored["params"],
+                opt_state=restored["opt_state"],
+                rng=restored["rng"], step=restored["step"],
+            )
+
         batch_size = conf.get("batch_size", 16)
         epochs = conf.get("epochs", 10)
-        for epoch_num in range(1, epochs + 1):
-            idx = self.host_rng.permutation(
-                train_dataset.current_indices()
-            )
-            for s in range(max(len(idx) // batch_size, 1)):
-                sel = idx[s * batch_size : (s + 1) * batch_size]
-                if len(sel) == 0:
-                    break
-                b = train_dataset.gather(sel)
-                rows = row_labels_from_boxes(b["boxes"], b["labels"])
-                state, loss = train_step(
-                    state, jnp.asarray(b["data"]), jnp.asarray(rows)
+        # checkpoint/test-gating parity with the standard path
+        # (reference checkpoints every network type,
+        # train_ards_detector.py:355-374)
+        start_epoch = 1
+        resume = getattr(self, "resume_meta", None)
+        if resume and resume["fold"] == fold_num:
+            start_epoch = resume["epoch"]
+        for epoch_num in range(start_epoch, epochs + 1):
+            if not conf.get("no_train"):
+                idx = self.host_rng.permutation(
+                    train_dataset.current_indices()
                 )
-                self.results.update_loss(fold_num, float(loss))
-                if conf.get("debug"):
-                    break
-            state = self._detector_test_epoch(
-                state, eval_step, train_dataset, fold_num, epoch_num,
-                batch_size,
-            )
+                for s in range(max(len(idx) // batch_size, 1)):
+                    sel = idx[s * batch_size : (s + 1) * batch_size]
+                    if len(sel) == 0:
+                        break
+                    b = train_dataset.gather(sel)
+                    rows = row_labels_from_boxes(b["boxes"], b["labels"])
+                    state, loss = train_step(
+                        state, jnp.asarray(b["data"]), jnp.asarray(rows)
+                    )
+                    self.results.update_loss(fold_num, float(loss))
+                    if conf.get("debug"):
+                        break
+            if not conf.get("no_test_after_epochs") or epoch_num == epochs:
+                # train-split IoU stays as a sanity/overfit curve; the
+                # headline per-epoch metric is the HELD-OUT band IoU on
+                # the test split's own spliced bands (unseen windows)
+                state = self._detector_test_epoch(
+                    state, eval_step, train_dataset, fold_num, epoch_num,
+                    batch_size, meter="band_iou",
+                )
+                state = self._detector_test_epoch(
+                    state, eval_step, test_dataset, fold_num, epoch_num,
+                    batch_size, meter="band_iou_test",
+                )
+            if conf.get("save_model_per_epoch") and conf.get("save_model"):
+                self.save_checkpoint(state, fold_num, epoch_num)
+        if conf.get("save_model"):
+            self.save_checkpoint(state, fold_num, None)
+        if resume and resume["fold"] == fold_num:
+            self.resume_meta = None
         self.final_state = state
         return state
 
     def _detector_test_epoch(self, state, eval_step, dataset, fold_num,
-                             epoch_num, batch_size):
-        """Train-set band IoU (the bbox dataset only splices the train
-        split, mirroring the reference's bbox construction)."""
-        idx = dataset.current_indices()[:batch_size]
-        b = dataset.gather(idx)
-        rows = row_labels_from_boxes(b["boxes"], b["labels"])
-        state, loss, logits = eval_step(
-            state, jnp.asarray(b["data"]), jnp.asarray(rows)
-        )
-        self.results.update_meter("test_loss", fold_num, float(loss))
-        bands = extract_bands(np.asarray(logits), threshold=0.0)
-        ious = [
-            band_iou(bands[i], b["boxes"][i], b["labels"][i])
-            for i in range(len(idx))
-        ]
-        self.results.update_meter(
-            "band_iou", fold_num, float(np.mean(ious))
-        )
+                             epoch_num, batch_size, meter="band_iou"):
+        """Band IoU over the WHOLE split in fixed-shape batches (the
+        last partial batch is zero-padded; pad rows are excluded from
+        the IoU mean and the recorded loss is batch-size weighted)."""
+        idx = dataset.current_indices()
+        ious = []
+        losses = []
+        for s in range(0, len(idx), batch_size):
+            sel = idx[s : s + batch_size]
+            n_real = len(sel)
+            b = dataset.gather(sel)
+            rows = row_labels_from_boxes(b["boxes"], b["labels"])
+            data = b["data"]
+            if n_real < batch_size:
+                pad = batch_size - n_real
+                data = np.concatenate(
+                    [data, np.zeros((pad,) + data.shape[1:],
+                                    data.dtype)])
+                rows = np.concatenate(
+                    [rows, np.zeros((pad,) + rows.shape[1:],
+                                    rows.dtype)])
+            state, loss, logits = eval_step(
+                state, jnp.asarray(data), jnp.asarray(rows)
+            )
+            losses.append((float(loss), n_real))
+            bands = extract_bands(
+                np.asarray(logits)[:n_real], threshold=0.0)
+            ious.extend(
+                band_iou(bands[i], b["boxes"][i], b["labels"][i])
+                for i in range(n_real)
+            )
+        mean_loss = (sum(ls * n for ls, n in losses)
+                     / max(sum(n for _, n in losses), 1))
+        self.results.update_meter("test_loss", fold_num, mean_loss)
+        self.results.update_meter(meter, fold_num, float(np.mean(ious)))
         self.results.update_epoch_meter(
-            "band_iou", epoch_num, float(np.mean(ious))
+            meter, epoch_num, float(np.mean(ious))
         )
         return state
 

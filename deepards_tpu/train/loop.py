@@ -257,6 +257,7 @@ class Trainer:
             )
             test_dataset = ImgARDSDataset(
                 test_dataset,
+                bbox=self.spec.kind == "detector",
                 seed=(self.conf.get("seed", 42) or 42) + 1,
             )
             test_dataset.scaling_factors = train_dataset.scaling_factors

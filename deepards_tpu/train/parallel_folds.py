@@ -179,9 +179,45 @@ class ParallelFoldTrainer(Trainer):
             )
             return state.replace(rng=rng), loss, out
 
+        if conf.get("load_checkpoint"):
+            # one checkpoint seeds EVERY fold slice — the sequential
+            # path restores the same file per fold (loop.py run_fold),
+            # so the vmapped formulation broadcasts it over the fold axis
+            from deepards_tpu.train import checkpoint
+
+            template = jax.tree_util.tree_map(lambda x: x[0], state)
+            restored = checkpoint.restore(conf.load_checkpoint, template)
+
+            def bcast(stacked, single):
+                single = jnp.asarray(single)
+                return jnp.broadcast_to(
+                    single, stacked.shape
+                ).astype(stacked.dtype)
+
+            state = state.replace(
+                params=jax.tree_util.tree_map(
+                    bcast, state.params, restored["params"]),
+                opt_state=jax.tree_util.tree_map(
+                    bcast, state.opt_state, restored["opt_state"]),
+                rng=bcast(state.rng, restored["rng"]),
+                step=bcast(state.step, restored["step"]),
+            )
+            # restored leaves carry the checkpoint's single-device
+            # placement; the device-cache epoch program consumes
+            # mesh-replicated arrays, so re-pin the whole state
+            state = mesh_lib.replicate_tree(self.mesh, state)
+
         batch_size = conf.get("batch_size", 16)
         epochs = conf.get("epochs", 10)
-        for epoch_num in range(1, epochs + 1):
+        # checkpoint/test-gating parity with the standard path
+        # (reference checkpoints every network type,
+        # train_ards_detector.py:355-374); folds advance together, so
+        # resume is epoch-level
+        start_epoch = 1
+        resume = getattr(self, "resume_meta", None)
+        if resume:
+            start_epoch = resume["epoch"]
+        for epoch_num in range(start_epoch, epochs + 1):
             if not conf.get("no_train"):
                 use_device = (
                     self._device_cache_eligible(train_dataset, None)
@@ -197,14 +233,32 @@ class ParallelFoldTrainer(Trainer):
                         state, train_step_all, train_dataset,
                         fold_train_idx, batch_size, epoch_num,
                     )
-            state = self._parallel_test_epoch(
-                state, eval_step_all, test_dataset, fold_test_idx,
-                batch_size, epoch_num,
-            )
+            if not conf.get("no_test_after_epochs") or epoch_num == epochs:
+                state = self._parallel_test_epoch(
+                    state, eval_step_all, test_dataset, fold_test_idx,
+                    batch_size, epoch_num,
+                )
+            if conf.get("save_model_per_epoch") and conf.get("save_model"):
+                self._save_fold_checkpoints(state, mus, stds, epoch_num)
+        if conf.get("save_model"):
+            self._save_fold_checkpoints(state, mus, stds, None)
+        self.resume_meta = None
         self.final_state = state
         self.perform_post_modeling_actions()
         self.perform_plotting(test_dataset)
         return self.results
+
+    def _save_fold_checkpoints(self, state, mus, stds, epoch_num):
+        """Per-fold slices of the vmapped state, saved with the exact
+        layout/naming of the sequential path (so predict/serve/resume
+        consume them unchanged), each with its fold's scaling sidecar."""
+        n_folds = int(np.asarray(state.step).shape[0])
+        for f in range(n_folds):
+            state_f = jax.tree_util.tree_map(lambda x: x[f], state)
+            self._current_scaling = (
+                np.asarray(mus[f]), np.asarray(stds[f])
+            )
+            self.save_checkpoint(state_f, f, epoch_num)
 
     def _make_tx(self):
         from deepards_tpu.train.steps import make_optimizer
