@@ -25,33 +25,69 @@ GEN = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "config", "experiment_files", "generated")
 
 
-def ensure_cohort(path):
+#: every holdout layout the generated registry exercises; all are
+#: symlinks to all_data in the synthetic cohort (same patients, the
+#: split protocol itself is what's under test here)
+SUBDIRS = ("all_data", "aim1_70_30_training", "aim1_70_30_testing",
+           "randomtrain", "randomval", "randomtest")
+
+
+def ensure_cohort(path, n_patients=8, n_breaths=260):
     from deepards_tpu.data.synthetic import generate_cohort
 
     csv = os.path.join(path, "cohort-description.csv")
     if not os.path.exists(csv):
         os.makedirs(path, exist_ok=True)
         generate_cohort(
-            path, n_patients=8, n_breaths_per_patient=260, seed=7,
-            subdirs=("all_data", "aim1_70_30_training",
-                     "aim1_70_30_testing"),
+            path, n_patients=n_patients, n_breaths_per_patient=n_breaths,
+            seed=7, subdirs=SUBDIRS,
         )
+    else:
+        # older sweep cohorts predate the random* subdirs — upgrade in
+        # place by symlinking them the same way generate_cohort does
+        exp = os.path.join(path, "experiment1")
+        for sub in SUBDIRS[1:]:
+            sub_dir = os.path.join(exp, sub)
+            os.makedirs(sub_dir, exist_ok=True)
+            for kind in ("raw", "meta"):
+                dst = os.path.join(sub_dir, kind)
+                if not os.path.exists(dst):
+                    os.symlink(os.path.abspath(
+                        os.path.join(exp, "all_data", kind)), dst)
     return csv
 
 
 def run_one(name, cohort, csv):
     """One debug-epoch train+eval through the CLI. Returns error or None."""
+    import yaml
+
     from deepards_tpu.cli.train import main as train_main
+
+    with open(os.path.join(GEN, name)) as f:
+        cfg = yaml.safe_load(f) or {}
 
     res_dir = tempfile.mkdtemp(prefix="regsweep_")
     argv = [
         "-co", os.path.join(GEN, name),
         "--data-path", cohort, "--cohort-file", csv,
-        "--epochs", "1", "--debug", "--kfolds", "2", "--only-fold", "0",
+        "--epochs", "1", "--debug",
         "-b", "4", "--n-sub-batches", "4",
         "--compute-dtype", "float32", "--results-dir", res_dir,
         "--seed", "5",
     ]
+    # holdout-protocol configs (e.g. drop_if_under_r2 heterogeneity
+    # filters) reject kfold mode by design — run them under their own
+    # split protocol instead of forcing the sweep's 2-fold override
+    if not (cfg.get("holdout_set_type") or cfg.get("drop_if_under_r2")):
+        argv += ["--kfolds", "2", "--only-fold", "0"]
+    if cfg.get("train_pt_frac") and float(cfg["train_pt_frac"]) < 0.5:
+        # small fractions need a wide cohort: after the 2-fold split
+        # halves the patient pool, floor(n_train*frac)//2 must stay >=1,
+        # so frac=0.025 needs >=80 train patients -> 170 total
+        wide = os.path.join(os.path.dirname(cohort), "regsweep_wide")
+        csv_wide = ensure_cohort(wide, n_patients=170, n_breaths=40)
+        argv[argv.index("--data-path") + 1] = wide
+        argv[argv.index("--cohort-file") + 1] = csv_wide
     try:
         train_main(argv)
     except SystemExit as e:

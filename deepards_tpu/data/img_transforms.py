@@ -74,41 +74,47 @@ class RandomVerticalFlip(_RandomTransform):
 
 
 def magnitude_warp(x, rng, sigma=0.2, knot=4):
-    """Smooth random magnitude envelope per channel
-    (reference: dataset.py:108-121; x here (C, H, W) warped along W)."""
+    """Smooth random magnitude envelope, drawn per (channel, row) in the
+    reference's shape and call order: one normal draw of shape
+    (C, knot+2, H), one spline per row (reference: dataset.py:108-121
+    with its (batch, time, chans) mapped to our (C, W, H) view)."""
     c, h, w = x.shape
     orig = np.arange(w)
     warp_steps = np.linspace(0, w - 1.0, num=knot + 2)
+    rand = rng.normal(1.0, sigma, size=(c, knot + 2, h))
     for ci in range(c):
-        rand = rng.normal(1.0, sigma, size=knot + 2)
-        warper = CubicSpline(warp_steps, rand)(orig)
-        x[ci] = x[ci] * warper[None, :]
+        for hi in range(h):
+            warper = CubicSpline(warp_steps, rand[ci, :, hi])(orig)
+            x[ci, hi] = x[ci, hi] * warper
     return x
 
 
 def time_warp(x, rng, sigma=0.2, knot=4):
-    """(reference: dataset.py:123-138)"""
+    """Per-(channel, row) time warp, draws shape-exact with the
+    reference (reference: dataset.py:123-138)."""
     c, h, w = x.shape
     orig = np.arange(w)
     warp_steps = np.linspace(0, w - 1.0, num=knot + 2)
+    rand = rng.normal(1.0, sigma, size=(c, knot + 2, h))
     for ci in range(c):
-        rand = rng.normal(1.0, sigma, size=knot + 2)
-        tw = CubicSpline(warp_steps, warp_steps * rand)(orig)
-        scale = (w - 1) / tw[-1]
-        warped_t = np.clip(scale * tw, 0, w - 1)
         for hi in range(h):
+            tw = CubicSpline(warp_steps, warp_steps * rand[ci, :, hi])(orig)
+            scale = (w - 1) / tw[-1]
+            warped_t = np.clip(scale * tw, 0, w - 1)
             x[ci, hi] = np.interp(orig, warped_t, x[ci, hi])
     return x
 
 
 def window_slice(x, rng, reduce_ratio=0.9):
-    """(reference: dataset.py:140-155)"""
+    """Per-channel slice starts, as the reference draws them
+    (reference: dataset.py:140-155, size=(batch,) == our C)."""
     c, h, w = x.shape
     target_len = int(np.ceil(reduce_ratio * w))
     if target_len >= w:
         return x
-    start = int(rng.integers(0, w - target_len))
+    starts = rng.integers(0, w - target_len, size=c)
     for ci in range(c):
+        start = int(starts[ci])
         for hi in range(h):
             seg = x[ci, hi, start : start + target_len]
             x[ci, hi] = np.interp(
@@ -118,20 +124,25 @@ def window_slice(x, rng, reduce_ratio=0.9):
     return x
 
 
-def window_warp(x, rng, window_ratio=0.25, scales=(0.5, 2.0)):
-    """(reference: dataset.py:157-180)"""
+def window_warp(x, rng, window_ratio=0.25, scales=(0.5, 2.0),
+                by_row=False):
+    """Window warp with the reference's draw shapes and order: scales
+    first (per channel, or per row with by_row), then per-channel window
+    starts (reference: dataset.py:157-180)."""
     c, h, w = x.shape
+    warp_scales = rng.choice(scales, size=h if by_row else c)
     warp_size = int(np.ceil(window_ratio * w))
-    start = int(rng.integers(1, w - warp_size - 1))
-    end = start + warp_size
-    scale = float(rng.choice(scales))
     steps = np.arange(warp_size)
+    starts = rng.integers(1, w - warp_size - 1, size=c)
     for ci in range(c):
+        start = int(starts[ci])
+        end = start + warp_size
         for hi in range(h):
+            scale = float(warp_scales[hi if by_row else ci])
             row = x[ci, hi]
             mid = np.interp(
-                np.linspace(0, warp_size - 1,
-                            num=max(int(warp_size * scale), 2)),
+                np.linspace(0, warp_size - 1.0,
+                            num=int(warp_size * scale)),
                 steps, row[start:end],
             )
             warped = np.concatenate([row[:start], mid, row[end:]])
@@ -162,13 +173,16 @@ class RandomWindowSlicing(_RandomTransform):
 
 
 class RandomWindowWarping(_RandomTransform):
-    def __init__(self, p=0.5, window_ratio=0.25, scales=(0.5, 2.0)):
+    def __init__(self, p=0.5, window_ratio=0.25, scales=(0.5, 2.0),
+                 by_row=False):
         super().__init__(p)
         self.window_ratio = window_ratio
         self.scales = scales
+        self.by_row = by_row
 
     def apply(self, x, rng):
-        return window_warp(x, rng, self.window_ratio, self.scales)
+        return window_warp(x, rng, self.window_ratio, self.scales,
+                           self.by_row)
 
 
 class RandomErasing(_RandomTransform):

@@ -114,6 +114,12 @@ def fractional_patients(indices, patient_per_row, patho_per_patient, frac,
     ards = [p for p in uniq if patho_per_patient[p] == 1]
     other = [p for p in uniq if patho_per_patient[p] == 0]
     n_per_class = int(np.floor(len(uniq) * frac)) // 2
+    if n_per_class < 1:
+        # a tiny cohort x small frac otherwise trickles down to an
+        # empty train split and an opaque reshape crash at init time
+        raise ValueError(
+            "train_pt_frac={} of {} patients leaves zero training "
+            "patients per class".format(frac, len(uniq)))
     keep = set(rng.choice(other, size=min(n_per_class, len(other)),
                           replace=False))
     keep.update(rng.choice(ards, size=min(n_per_class, len(ards)),

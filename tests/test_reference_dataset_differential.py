@@ -767,3 +767,69 @@ def test_1d_fft_channels_match_reference(ref_dataset_mod, cohort,
         np.testing.assert_allclose(
             np.asarray(item[1], np.float32), ours.cache.data[i],
             atol=1e-4, err_msg="fft seq {}".format(i))
+
+
+class _Legacy2DRng:
+    """Replays the global legacy np.random stream through the
+    Generator-style surface the 2D transforms consume."""
+
+    def random(self):
+        return np.random.random()
+
+    def permutation(self, n):
+        return np.random.permutation(n)
+
+    def uniform(self, lo, hi, size=None):
+        return np.random.uniform(lo, hi, size)
+
+    def normal(self, loc, scale, size=None):
+        return np.random.normal(loc, scale, size)
+
+    def integers(self, lo, hi, size=None):
+        return np.random.randint(lo, hi, size)
+
+    def choice(self, arr, size=None):
+        return np.random.choice(arr, size=size)
+
+
+@pytest.mark.parametrize("key,seed", [
+    ("row_shuffle", 11), ("row_horiz_flip", 12), ("scale", 13),
+    ("mag_warp", 14), ("time_warp", 15), ("win_warp", 16),
+    ("win_slice", 17),
+])
+def test_2d_transforms_match_reference(ref_dataset_mod, key, seed):
+    """2D augmentation draw-shape exactness: each np.random-driven
+    transform in the reference registry (reference: dataset.py:108-340)
+    run on the same seeded image must match ours bitwise — same draw
+    shapes (per (channel, row) warps), same call order, same math.
+    horiz/vert flip are excluded: the reference delegates those to
+    torchvision (torch RNG stream, not np.random)."""
+    from deepards_tpu.data.img_transforms import two_dim_transforms
+
+    rng = np.random.default_rng(99)
+    x = rng.normal(size=(2, 12, 48)).astype(np.float64)
+
+    np.random.seed(seed)
+    ref_t = getattr(ref_dataset_mod, "two_dim_transforms")[key](p=1.0)
+    ref_out = np.asarray(ref_t.forward(torch.from_numpy(x.copy())))
+
+    np.random.seed(seed)
+    ours = two_dim_transforms[key](p=1.0)(x.copy(), rng=_Legacy2DRng())
+    np.testing.assert_allclose(ours, ref_out, atol=1e-12,
+                               err_msg="2d transform {}".format(key))
+
+
+def test_2d_window_warp_by_row_matches_reference(ref_dataset_mod):
+    """The by_row variant draws one scale per ROW (reference:
+    dataset.py:157-166 warp_dim) — pin that path too."""
+    from deepards_tpu.data.img_transforms import RandomWindowWarping
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 6, 40)).astype(np.float64)
+    np.random.seed(21)
+    ref_t = ref_dataset_mod.RandomWindowWarping(p=1.0, by_row=True)
+    ref_out = np.asarray(ref_t.forward(torch.from_numpy(x.copy())))
+    np.random.seed(21)
+    ours = RandomWindowWarping(p=1.0, by_row=True)(
+        x.copy(), rng=_Legacy2DRng())
+    np.testing.assert_allclose(ours, ref_out, atol=1e-12)
