@@ -445,11 +445,19 @@ def _attainable_mfu(step_fn, *args, peak_tflops):
         for d in dn.out_spec[2:]:
             out_spatial *= outv[d]
         m = batch * out_spatial
+        # rhs holds PER-GROUP in-features; total flops are 2*M*N_total*K
+        # (N_total = c_out spans all groups), NOT scaled by group count.
+        # The MXU tiles each group's GEMM separately, so utilization is
+        # judged on the per-group N.
         n = c_out
         k = c_in * window
-        flops = 2.0 * m * n * k * groups
-        util = (m / ru(m, 8)) * (n / ru(n, 128)) * (k / ru(k, 128))
+        n_group = max(c_out // groups, 1)
+        flops = 2.0 * m * n * k
+        util = (m / ru(m, 8)) * (n_group / ru(n_group, 128)) * (
+            k / ru(k, 128))
         key = "M%d N%d K%d" % (m, n, k)
+        if groups > 1:
+            key += " g%d" % groups
         agg = shapes.setdefault(
             key, {"flops": 0.0, "util": util, "count": 0})
         agg["flops"] += flops
@@ -1228,7 +1236,6 @@ def main():
     t0 = time.perf_counter()
     headline = run_config(1, baseline, instrument=False)
     headline["wall_s"] = round(time.perf_counter() - t0, 1)
-    outs = []
     for n in (3, 4, 2, 5, 6):
         if remaining() <= 0:
             out = {
@@ -1248,7 +1255,11 @@ def main():
                     "config_name": CONFIG_NAMES[n],
                     "error": "{}: {}".format(type(exc).__name__, exc),
                 }
-        outs.append(out)
+        # print each line the moment it exists: an external kill during
+        # the deferred headline instrumentation below must not lose
+        # already-measured numbers (only the headline itself is held
+        # back, because the driver parses the tail)
+        print(json.dumps(out), flush=True)
 
     # deferred headline instrumentation, cheapest-to-drop last
     if remaining() > 60:
@@ -1275,8 +1286,6 @@ def main():
         except Exception as exc:
             headline["wide_batch64_error"] = str(exc)
     strip(headline)
-    for out in outs:
-        print(json.dumps(out), flush=True)
     print(json.dumps(headline), flush=True)
 
 

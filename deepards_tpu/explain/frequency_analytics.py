@@ -301,25 +301,34 @@ def splice_experiment(cam_factory, dataset, params_by_fold, study, freqs,
     """High-frequency splice probe (reference: gradcam.py:678-703): for
     ARDS windows predicted with softmax > conf, splice their >= hz bins
     into a random other-class window and record before/after outputs."""
+    from deepards_tpu.data.pipeline import gather_pipeline
+
     rng = np.random.default_rng(seed)
     freq_mask = np.abs(freqs) >= hz
     results = []
     if not study.kfold_idxs[0]:
         return pd.DataFrame(results)
+    # pipelines hold per-fold mu/std + the (fold-invariant) butter SOS;
+    # build each fold's once — per-sample rebuilds re-run the scipy
+    # filter design and re-upload the device constants every iteration
+    pipes = {}
+
+    def pipe_for(fold):
+        if fold not in pipes:
+            dataset.set_kfold_indexes_for_fold(fold)
+            pipes[fold] = gather_pipeline(dataset)
+        return pipes[fold]
+
     for i, out in enumerate(study.model_outs[1]):
         ex = np.exp(out - out.max())
         if (ex / ex.sum())[1] <= conf:
             continue
-        from deepards_tpu.data.pipeline import gather_pipeline
-
         fold, idx = study.kfold_idxs[1][i]
-        dataset.set_kfold_indexes_for_fold(fold)
-        seq = gather_pipeline(dataset)(dataset.cache.data[idx])
+        seq = pipe_for(fold)(dataset.cache.data[idx])
         o_fold, o_idx = study.kfold_idxs[0][
             int(rng.integers(0, len(study.kfold_idxs[0])))
         ]
-        dataset.set_kfold_indexes_for_fold(o_fold)
-        other = gather_pipeline(dataset)(dataset.cache.data[o_idx])
+        other = pipe_for(o_fold)(dataset.cache.data[o_idx])
         gen = cam_factory(params_by_fold[o_fold])
         _, out_before = gen.generate_cam(other, 0)
         spliced = splice_frequencies(other, seq, freq_mask)
@@ -402,10 +411,26 @@ def butterworth_1d_analytics(cam_factory, dataset, dataset_no_filter,
         for tag, dat in (("filtered", dataset),
                          ("no_filter", dataset_no_filter)):
             dat.set_kfold_indexes_for_fold(fold)
-            # prototypes plot in physical units; cache rows are ALREADY
-            # raw (normalization happens on device), so no unscale — the
-            # reference unscales only because its loader output is scaled
+            # prototypes plot in physical units; cache rows are RAW
+            # here (normalization AND filtering happen on device), so
+            # the filtered panel must run the row through the dataset's
+            # own butter filter — without it both panels would show the
+            # identical raw median, never the band-limited signal
             seq = np.asarray(dat.cache.data[idx], np.float64)
+            if tag == "filtered":
+                import jax.numpy as jnp
+
+                from deepards_tpu.data.pipeline import (
+                    design_butter_sos,
+                    sosfilt,
+                )
+
+                sos = design_butter_sos(dat.butter_low, dat.butter_high)
+                if sos is not None:
+                    seq = np.asarray(sosfilt(
+                        jnp.asarray(sos, jnp.float32),
+                        jnp.asarray(seq, jnp.float32),
+                    ), np.float64)
             protos[(patho, tag)] = np.median(seq, axis=0).ravel()
         protos[(patho, "mean_cam")] = np.nanmean(cams, axis=0).ravel()
 

@@ -52,10 +52,14 @@ def row_labels_from_boxes(boxes, labels, rows=224):
     return out
 
 
-def detection_loss(row_logits, row_targets, gamma=2.0, alpha=0.25):
+def detection_loss(row_logits, row_targets, gamma=2.0, alpha=0.25,
+                   weights=None):
     """Sigmoid focal loss over dense row classifications — the RetinaNet
-    classification objective applied to the row-band parameterization."""
-    return focal_loss(row_logits, row_targets, alpha=alpha, gamma=gamma)
+    classification objective applied to the row-band parameterization.
+    ``weights`` (per-image, optional) lets eval exclude zero-padded
+    fixed-shape batch rows from the mean."""
+    return focal_loss(row_logits, row_targets, alpha=alpha, gamma=gamma,
+                      weights=weights)
 
 
 def extract_bands(row_logits, threshold=0.5):

@@ -102,9 +102,20 @@ class DetectorTrainer(Trainer):
             )
 
         @jax.jit
-        def eval_step(state, data, row_targets):
+        def eval_step(state, data, row_targets, weights):
+            # weights mask out the zero-pad rows of fixed-shape eval
+            # batches so the recorded loss is a mean over real windows
             rng, drng = split_state_rng(state.rng, rng_impl)
-            loss, logits = loss_wrap(state.params, data, row_targets, drng)
+            data_c = _maybe_cast(data, compute_dtype)
+            params_c = _maybe_cast(state.params, compute_dtype)
+            logits = model.apply(
+                {"params": params_c}, data_c, None, False,
+                rngs={"dropout": drng},
+            ).astype(jnp.float32)
+            loss = detection_loss(
+                logits, row_targets, gamma=gamma, alpha=alpha,
+                weights=weights,
+            )
             return state.replace(rng=rng), loss, logits
 
         if conf.get("load_checkpoint"):
@@ -169,7 +180,7 @@ class DetectorTrainer(Trainer):
                              epoch_num, batch_size, meter="band_iou"):
         """Band IoU over the WHOLE split in fixed-shape batches (the
         last partial batch is zero-padded; pad rows are excluded from
-        the IoU mean and the recorded loss is batch-size weighted)."""
+        both the IoU mean and the loss via a per-image weight mask)."""
         idx = dataset.current_indices()
         ious = []
         losses = []
@@ -179,6 +190,7 @@ class DetectorTrainer(Trainer):
             b = dataset.gather(sel)
             rows = row_labels_from_boxes(b["boxes"], b["labels"])
             data = b["data"]
+            weights = np.ones(batch_size, np.float32)
             if n_real < batch_size:
                 pad = batch_size - n_real
                 data = np.concatenate(
@@ -187,8 +199,10 @@ class DetectorTrainer(Trainer):
                 rows = np.concatenate(
                     [rows, np.zeros((pad,) + rows.shape[1:],
                                     rows.dtype)])
+                weights[n_real:] = 0.0
             state, loss, logits = eval_step(
-                state, jnp.asarray(data), jnp.asarray(rows)
+                state, jnp.asarray(data), jnp.asarray(rows),
+                jnp.asarray(weights),
             )
             losses.append((float(loss), n_real))
             bands = extract_bands(
@@ -199,7 +213,11 @@ class DetectorTrainer(Trainer):
             )
         mean_loss = (sum(ls * n for ls, n in losses)
                      / max(sum(n for _, n in losses), 1))
-        self.results.update_meter("test_loss", fold_num, mean_loss)
+        if meter == "band_iou_test":
+            # only the held-out split feeds the test_loss meter — the
+            # train-split sanity pass must not contaminate it (one
+            # entry per epoch, same cadence as the standard path)
+            self.results.update_meter("test_loss", fold_num, mean_loss)
         self.results.update_meter(meter, fold_num, float(np.mean(ious)))
         self.results.update_epoch_meter(
             meter, epoch_num, float(np.mean(ious))

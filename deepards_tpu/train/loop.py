@@ -537,7 +537,20 @@ class Trainer:
         if fns is None:
             fns = OrderedDict()
             setattr(self, attr, fns)
-        key = (getattr(step_fn, "scan_token", None), with_meta)
+        token = getattr(step_fn, "scan_token", None)
+        if token is None:
+            # steps built outside make_train_step (e.g. the ProtoPNet
+            # eval step) arrive untokened; stamp one so per-epoch
+            # lookups with the same live object hit instead of
+            # recompiling the scan every epoch
+            from deepards_tpu.train.steps import next_step_token
+
+            token = next_step_token()
+            try:
+                step_fn.scan_token = token
+            except AttributeError:
+                token = None  # unstampable callable: never cached
+        key = (token, with_meta)
         entry = fns.get(key)
         if entry is not None and (
             key[0] is None or entry[0] is not step_fn

@@ -20,6 +20,13 @@ from flax import struct
 _STEP_TOKENS = itertools.count(1)
 
 
+def next_step_token():
+    """Process-unique identity token for compiled-closure caches (see
+    train/loop.py _scan_cache_lookup); same counter make_train_step
+    stamps its four step functions with."""
+    return next(_STEP_TOKENS)
+
+
 class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any

@@ -129,6 +129,16 @@ def test_row_band_detector():
     assert len(bands) == 2
     assert all(len(b) >= 1 for b in bands)
 
+    # pad-row exclusion: a fixed-shape eval batch with zero-pad images
+    # masked out must report the SAME loss as the real rows alone
+    pad_logits = jnp.concatenate([logits, jnp.zeros_like(logits)])
+    pad_targets = jnp.concatenate(
+        [jnp.asarray(targets), jnp.zeros_like(jnp.asarray(targets))]
+    )
+    weights = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    masked = detection_loss(pad_logits, pad_targets, weights=weights)
+    np.testing.assert_allclose(float(masked), float(loss), rtol=1e-6)
+
 
 def test_protopnet2d_forward():
     from deepards_tpu.models.densenet2d import densenet18_2d

@@ -46,14 +46,19 @@ def _ckpt_paths(saved):
 def test_stateful_lstm_checkpoint_save_reload_continue(
         synthetic_cohort, tmp_path):
     saved = str(tmp_path / "models")
+    # no_test_after_epochs rides on the SAME run as the save assertions:
+    # a third trainer just for it would pay the stateful LSTM scan
+    # compiles a third time (this is the suite's slowest test)
     conf = _conf(
         synthetic_cohort, tmp_path,
         network="cnn_lstm", dataset_type="padded_breath_by_breath",
         unshuffled=True, save_model="sm", save_model_per_epoch=True,
-        saved_models_dir=saved, epochs=2,
+        saved_models_dir=saved, epochs=2, no_test_after_epochs=True,
     )
     trainer = make_trainer(conf, verbose=False)
-    trainer.train_and_test()
+    results = trainer.train_and_test()
+    # no_test_after_epochs: only the last epoch evaluates
+    assert len(results.get_meter("test_auc", 0)) == 1
     ckpts = _ckpt_paths(saved)
     # per-epoch + final
     assert any("epoch1" in c for c in ckpts)
@@ -72,16 +77,6 @@ def test_stateful_lstm_checkpoint_save_reload_continue(
     trainer2 = make_trainer(conf2, verbose=False)
     results2 = trainer2.train_and_test()
     assert len(results2.get_meter("test_auc", 0)) == 1
-
-    # no_test_after_epochs: only the last epoch evaluates
-    conf3 = _conf(
-        synthetic_cohort, tmp_path / "r3",
-        network="cnn_lstm", dataset_type="padded_breath_by_breath",
-        unshuffled=True, no_test_after_epochs=True, epochs=2,
-    )
-    trainer3 = make_trainer(conf3, verbose=False)
-    results3 = trainer3.train_and_test()
-    assert len(results3.get_meter("test_auc", 0)) == 1
 
 
 def test_nested_checkpoint_save_reload_continue(synthetic_cohort, tmp_path):
@@ -124,6 +119,9 @@ def test_detector_checkpoint_and_heldout_iou(synthetic_cohort, tmp_path):
     iou_test = results.get_meter("band_iou_test", 0)
     assert len(iou_test) == 1
     assert 0.0 <= iou_test.values[0] <= 1.0
+    # test_loss carries ONE entry per epoch, from the held-out split
+    # only — the train-split sanity pass must not contaminate it
+    assert len(results.get_meter("test_loss", 0)) == 1
     assert len(results.get_meter("band_iou", 0)) == 1
 
     ckpts = _ckpt_paths(saved)

@@ -154,6 +154,24 @@ def test_butterworth_analytics_end_to_end(raw_dataset, tmp_path):
     for p in res["pngs"]:
         assert os.path.exists(p)
 
+    # with butter configured, the "filtered" prototype must be the
+    # band-limited signal, NOT the same raw median as no_filter (cache
+    # rows are raw; the study's filtering happens on device)
+    import copy
+
+    butter_ds = copy.copy(raw_dataset)
+    butter_ds.butter_low = 0
+    butter_ds.butter_high = 5
+    res_b = butterworth_1d_analytics(
+        _factory(model), butter_ds, raw_dataset, params_by_fold,
+        "smoke_b", 0, 5, str(tmp_path / "b"), n_samps=3,
+    )
+    for patho in (0, 1):
+        if (patho, "filtered") in res_b["prototypes"]:
+            filt = res_b["prototypes"][(patho, "filtered")]
+            raw = res_b["prototypes"][(patho, "no_filter")]
+            assert not np.allclose(filt, raw)
+
     png, signal = butter_plots(
         raw_dataset, 0, "smoke", 0, 5, str(tmp_path)
     )

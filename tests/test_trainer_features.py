@@ -158,14 +158,22 @@ def test_scan_cache_no_alias_across_step_fns(synthetic_cohort, tmp_path):
     assert trainer._device_eval_scan(e1, False) is v1
     assert trainer._device_eval_scan(e2, False) is not v1
 
-    # an untokened step function is rebuilt every time, never cached
-    # under a colliding key
+    # a step function built OUTSIDE make_train_step (e.g. the ProtoPNet
+    # eval step) arrives untokened: the lookup stamps it a fresh token
+    # so per-epoch lookups with the same live object HIT the cache
+    # instead of recompiling the scan every epoch
     def bare_step(s, b, m):
         return s, jnp.zeros(())
 
     b1 = trainer._device_epoch_scan(bare_step, False)
     b2 = trainer._device_epoch_scan(bare_step, False)
-    assert b1 is not b2
+    assert b1 is b2
+    assert getattr(bare_step, "scan_token", None) is not None
+    # a DIFFERENT untokened function never aliases the first's entry
+    def bare_step2(s, b, m):
+        return s, jnp.zeros(())
+
+    assert trainer._device_epoch_scan(bare_step2, False) is not b1
     # and the tokened entries survived untouched
     assert trainer._device_epoch_scan(t1, False) is s1
 
