@@ -897,6 +897,25 @@ def config6():
     one_epoch()  # residual warmup (first post-compile dispatch chain)
     t1 = _median_time(one_epoch, repeats=5)
 
+    # fold-level dispatch pipelining (the trainer's run_fold default,
+    # defer_fetch): E epochs enqueue back-to-back and the host fetches
+    # losses once at fold end, so the per-epoch dispatch+fetch floor
+    # overlaps device compute.  Timed region ends in the flush (a real
+    # device->host materialization of every epoch's losses).
+    PIPE_EPOCHS = 5
+
+    def pipelined_fold():
+        trainer._deferred = []
+        try:
+            for _ in range(PIPE_EPOCHS):
+                one_epoch()
+            trainer._flush_deferred()
+        finally:
+            trainer._deferred = None
+
+    pipelined_fold()  # warm the deferred path
+    t_pipe = _median_time(pipelined_fold, repeats=3) / PIPE_EPOCHS
+
     # dispatch-floor breakdown: time the SAME device-cache epoch scan at
     # 1 fused step vs the full epoch; the intercept is the per-epoch
     # tunnel dispatch+fetch floor, the slope the true per-step compute
@@ -947,16 +966,21 @@ def config6():
     # for this config (losses are materialized to host, so enqueue-only
     # timing cannot happen); flops/MFU are null because the timed region
     # includes real epoch bookkeeping, not a pure compute program
+    if breakdown is not None:
+        breakdown["seqs_per_sec_blocking"] = round(n_seqs / t1, 1)
+        breakdown["pipelined_epochs"] = PIPE_EPOCHS
     return {
-        "seqs_per_sec": n_seqs / t1,
-        "time": t1,
+        "seqs_per_sec": n_seqs / t_pipe,
+        "time": t_pipe,
         "linearity": None,
         "flops": None,
         "hbm_bytes": None,
         "note": (
-            "real-data epoch; linearity/MFU null by design (epoch "
-            "bookkeeping in the timed region); dispatch-floor breakdown "
-            "attached"
+            "real-data epoch, fold-pipelined (defer_fetch: {} epochs "
+            "enqueued, losses flushed at fold end); linearity/MFU null "
+            "by design (epoch bookkeeping in the timed region); "
+            "dispatch-floor breakdown + per-epoch blocking number "
+            "attached".format(PIPE_EPOCHS)
         ),
         "breakdown": breakdown,
     }

@@ -437,26 +437,41 @@ class Trainer:
         resume = getattr(self, "resume_meta", None)
         if resume and resume["fold"] == fold_num:
             start_epoch = resume["epoch"]
-        for epoch_num in range(start_epoch, epochs + 1):
-            epoch_resume = (
-                resume
-                if resume and resume["fold"] == fold_num
-                and resume["epoch"] == epoch_num
-                else None
-            )
-            if not conf.get("no_train"):
-                state = self.run_train_epoch(
-                    state, train_step, train_dataset, fold_num, epoch_num,
-                    train_scan=train_scan, resume=epoch_resume,
+        # Fold-level dispatch pipelining: with the deferred-fetch queue
+        # armed, the device-cache epoch paths queue their host-side result
+        # recording (loss fetch, prediction gather, vote aggregation)
+        # instead of blocking on it, so every epoch's train+eval scans are
+        # enqueued back-to-back and the per-epoch dispatch+fetch round trip
+        # (~30ms over the chip tunnel) overlaps device compute.  Recorded
+        # results are bit-identical — only host materialization moves to
+        # the end of the fold.  `defer_fetch: false` restores per-epoch
+        # blocking (e.g. to watch metrics live).
+        self._deferred = [] if conf.get("defer_fetch", True) else None
+        try:
+            for epoch_num in range(start_epoch, epochs + 1):
+                epoch_resume = (
+                    resume
+                    if resume and resume["fold"] == fold_num
+                    and resume["epoch"] == epoch_num
+                    else None
                 )
-            if conf.get("reshuffle_oversample_per_epoch"):
-                train_dataset.set_oversampling_indices()
-            if not conf.get("no_test_after_epochs") or epoch_num == epochs:
-                state = self.run_test_epoch(
-                    state, eval_step, test_dataset, fold_num, epoch_num
-                )
-            if conf.get("save_model_per_epoch") and conf.get("save_model"):
-                self.save_checkpoint(state, fold_num, epoch_num)
+                if not conf.get("no_train"):
+                    state = self.run_train_epoch(
+                        state, train_step, train_dataset, fold_num,
+                        epoch_num, train_scan=train_scan,
+                        resume=epoch_resume,
+                    )
+                if conf.get("reshuffle_oversample_per_epoch"):
+                    train_dataset.set_oversampling_indices()
+                if not conf.get("no_test_after_epochs") or epoch_num == epochs:
+                    state = self.run_test_epoch(
+                        state, eval_step, test_dataset, fold_num, epoch_num
+                    )
+                if conf.get("save_model_per_epoch") and conf.get("save_model"):
+                    self.save_checkpoint(state, fold_num, epoch_num)
+            self._flush_deferred()
+        finally:
+            self._deferred = None
         if conf.get("save_model"):
             self.save_checkpoint(state, fold_num, None)
         if resume and resume["fold"] == fold_num:
@@ -645,12 +660,36 @@ class Trainer:
             state, losses = scan(
                 state, dev["data"], dev["target"], perm_d, masks_d
             )
+        self._defer(self._record_train_losses, losses, fold_num, epoch_num)
+        return state
+
+    # -- deferred host materialization -----------------------------------
+
+    _deferred = None
+
+    def _defer(self, fn, *args):
+        """Queue host-side result recording when the fold-level pipeline
+        is armed (run_fold), else record inline.  Deferring keeps device
+        futures alive without blocking, so the next epoch's scans enqueue
+        immediately and the per-epoch dispatch+fetch floor overlaps
+        compute."""
+        if self._deferred is not None:
+            self._deferred.append(lambda: fn(*args))
+        else:
+            fn(*args)
+
+    def _flush_deferred(self):
+        work = self._deferred or []
+        self._deferred = None
+        for fn in work:
+            fn()
+
+    def _record_train_losses(self, losses, fold_num, epoch_num):
         for l in np.asarray(losses):
             self.results.update_meter(
                 "loss_epoch_{}".format(epoch_num), fold_num, float(l)
             )
             self.results.update_loss(fold_num, float(l))
-        return state
 
     def _run_stateful_fold(self, state, model, pipeline, tx, train_dataset,
                            test_dataset, fold_num):
@@ -1123,8 +1162,21 @@ class Trainer:
                            rep),
             jax.device_put(masks.reshape(steps, target), rep),
         )
-        losses = np.asarray(losses)
-        for l in losses:
+        # targets snapshot taken NOW (host array) so a later in-place cache
+        # mutation cannot skew a deferred regressor recording
+        targets = (
+            dataset.cache.target[idx]
+            if self.spec.kind == "regressor" else None
+        )
+        self._defer(
+            self._record_eval_outputs, losses, outs, idx, steps, target,
+            n, targets, dataset, fold_num, epoch_num,
+        )
+        return state
+
+    def _record_eval_outputs(self, losses, outs, idx, steps, target, n,
+                             targets, dataset, fold_num, epoch_num):
+        for l in np.asarray(losses):
             self.results.update_meter("test_loss", fold_num, float(l))
             self.results.update_epoch_meter(
                 "test_loss", epoch_num, float(l)
@@ -1142,10 +1194,7 @@ class Trainer:
                 preds, pred_idx, dataset, fold_num, epoch_num
             )
         elif self.spec.kind == "regressor":
-            self.record_regressor_results(
-                out_flat, dataset.cache.target[idx], fold_num
-            )
-        return state
+            self.record_regressor_results(out_flat, targets, fold_num)
 
     def run_test_epoch(self, state, eval_step, dataset, fold_num, epoch_num):
         conf = self.conf

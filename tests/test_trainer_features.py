@@ -555,3 +555,51 @@ def test_stateful_device_epoch_matches_host(synthetic_cohort, tmp_path):
     host = run(False, tmp_path / "host")
     assert len(dev) == len(host) > 0
     np.testing.assert_allclose(dev[:5], host[:5], rtol=1e-4, atol=1e-5)
+
+
+def test_defer_fetch_results_identical(synthetic_cohort, tmp_path):
+    """Fold-level dispatch pipelining (defer_fetch) only moves host
+    materialization to the end of the fold: every recorded meter — train
+    losses per epoch, test losses, and the patient-vote AUC rows — must
+    be IDENTICAL to the per-epoch blocking run."""
+    from deepards_tpu.config import Configuration
+    from deepards_tpu.train.loop import make_trainer
+
+    def run(flag, d):
+        conf = Configuration(overrides=dict(
+            data_path=synthetic_cohort["data_path"],
+            cohort_file=synthetic_cohort["cohort_file"],
+            experiment_num=1,
+            network="cnn_linear",
+            base_network="densenet18",
+            dataset_type="unpadded_centered_sequences",
+            n_sub_batches=2,
+            kfolds=2,
+            only_fold=0,
+            epochs=2,
+            batch_size=8,
+            compute_dtype="float32",
+            results_dir=str(d),
+            seed=7,
+            device_cache=True,
+            defer_fetch=flag,
+        ))
+        t = make_trainer(conf, verbose=False)
+        t.train_and_test()
+        assert t._deferred is None  # queue must not leak past the fold
+        meters = {
+            name: list(t.results.get_meter(name, 0).values)
+            for name in ("loss_epoch_1", "loss_epoch_2", "loss",
+                         "test_loss", "test_auc")
+        }
+        return meters, t.results.results.copy()
+
+    deferred, stats_d = run(True, tmp_path / "defer")
+    blocking, stats_b = run(False, tmp_path / "block")
+    assert set(deferred) == set(blocking)
+    for name in deferred:
+        assert len(deferred[name]) == len(blocking[name]) > 0, name
+        np.testing.assert_array_equal(deferred[name], blocking[name],
+                                      err_msg=name)
+    # vote-aggregation rows (patho/accuracy/auc per epoch) bit-identical
+    assert stats_d.equals(stats_b)
