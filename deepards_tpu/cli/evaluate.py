@@ -58,16 +58,25 @@ def main(argv=None):
         )
         sample = test_dataset.gather(test_dataset.current_indices()[:2])
         model_names = conf.models[fold] if "models" in conf.conf else []
-        for i, model_name in enumerate(model_names):
-            path = os.path.join(args.saved_models_dir, model_name)
-            state = create_train_state(
-                model, tx, sample, jax.random.PRNGKey(0),
-                has_metadata=trainer.spec.uses_metadata,
-            )
-            restored = checkpoint.restore(path)
-            state = state.replace(params=restored["params"])
-            # each checkpoint acts as one pseudo-epoch
-            trainer.run_test_epoch(state, eval_step, test_dataset, fold, i)
+        # pipeline the ensemble members like run_fold pipelines epochs:
+        # every checkpoint's eval scan enqueues back-to-back, host-side
+        # vote aggregation flushes once per fold
+        trainer._deferred = []
+        try:
+            for i, model_name in enumerate(model_names):
+                path = os.path.join(args.saved_models_dir, model_name)
+                state = create_train_state(
+                    model, tx, sample, jax.random.PRNGKey(0),
+                    has_metadata=trainer.spec.uses_metadata,
+                )
+                restored = checkpoint.restore(path)
+                state = state.replace(params=restored["params"])
+                # each checkpoint acts as one pseudo-epoch
+                trainer.run_test_epoch(state, eval_step, test_dataset,
+                                       fold, i)
+            trainer._flush_deferred()
+        finally:
+            trainer._deferred = None
 
     print("\nMean Results")
     rows = []
