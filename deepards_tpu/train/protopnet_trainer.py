@@ -273,30 +273,38 @@ class ProtoPNetTrainer(Trainer):
         n_push_iters = conf.get("n_push_iters", 5)
         batch_size = conf.get("batch_size", 16)
 
-        for epoch_num in range(1, epochs + 1):
-            stage = "warm" if epoch_num <= n_warm else "joint"
-            state = self._run_ppnet_epoch(
-                state, steps[stage], train_dataset, fold_num, epoch_num,
-                batch_size,
-            )
-            if (
-                epoch_num >= push_start
-                and (epoch_num - push_start) % push_every == 0
-            ):
-                state = self.push_prototypes(state, model, train_dataset,
-                                             pipeline, batch_size)
-                for _ in range(n_push_iters):
-                    state = self._run_ppnet_epoch(
-                        state, steps["last"], train_dataset, fold_num,
-                        epoch_num, batch_size,
-                    )
-                    if conf.get("debug"):
-                        break
-            state = self.run_test_epoch(
-                state, eval_step, test_dataset, fold_num, epoch_num
-            )
-            if conf.get("save_model_per_epoch") and conf.get("save_model"):
-                self.save_checkpoint(state, fold_num, epoch_num)
+        # fold-level dispatch pipelining (see Trainer.run_fold): staged
+        # epochs + evals enqueue back-to-back; prototype pushes still
+        # synchronize inherently (they materialize features on host)
+        self._deferred = [] if conf.get("defer_fetch", True) else None
+        try:
+            for epoch_num in range(1, epochs + 1):
+                stage = "warm" if epoch_num <= n_warm else "joint"
+                state = self._run_ppnet_epoch(
+                    state, steps[stage], train_dataset, fold_num,
+                    epoch_num, batch_size,
+                )
+                if (
+                    epoch_num >= push_start
+                    and (epoch_num - push_start) % push_every == 0
+                ):
+                    state = self.push_prototypes(
+                        state, model, train_dataset, pipeline, batch_size)
+                    for _ in range(n_push_iters):
+                        state = self._run_ppnet_epoch(
+                            state, steps["last"], train_dataset, fold_num,
+                            epoch_num, batch_size,
+                        )
+                        if conf.get("debug"):
+                            break
+                state = self.run_test_epoch(
+                    state, eval_step, test_dataset, fold_num, epoch_num
+                )
+                if conf.get("save_model_per_epoch") and conf.get("save_model"):
+                    self.save_checkpoint(state, fold_num, epoch_num)
+            self._flush_deferred()
+        finally:
+            self._deferred = None
         # checkpointing parity with the base trainer: the reference's
         # BaseTraining saves every network type incl. ProtoPNet
         # (train_ards_detector.py:355-374)
@@ -350,10 +358,11 @@ class ProtoPNetTrainer(Trainer):
             masks[n:] = 0.0
             perm = np.concatenate([perm, perm[:pad]])
         dev = self._get_device_cache(dataset)
-        fns = getattr(self, "_ppnet_epoch_fns", None)
-        if fns is None:
-            fns = self._ppnet_epoch_fns = {}
-        if id(step) not in fns:
+        # same generation-token cache scheme as Trainer._device_epoch_scan
+        # (id()-keying recycles after GC and would alias a stale closure)
+        fns, key, entry = self._scan_cache_lookup(
+            "_ppnet_epoch_fns", step, False)
+        if entry is None:
             batch_sh = mesh_lib.batch_sharding(self.mesh)
 
             def shard(tree):
@@ -377,12 +386,21 @@ class ProtoPNetTrainer(Trainer):
 
                 return jax.lax.scan(body, state, (perm_d, masks_d))
 
-            fns[id(step)] = epoch_scan
-        state, (losses, auxs) = fns[id(step)](
+            entry = (step, self._scan_cache_store(
+                fns, key, step, epoch_scan))
+        state, (losses, auxs) = entry[1](
             state, dev["data"], dev["target"],
             jnp.asarray(perm.reshape(steps, target).astype(np.int32)),
             jnp.asarray(masks.reshape(steps, target)),
         )
+        self._defer(
+            self._record_ppnet_losses, losses, auxs, steps, fold_num,
+            epoch_num,
+        )
+        return state
+
+    def _record_ppnet_losses(self, losses, auxs, steps, fold_num,
+                             epoch_num):
         losses = np.asarray(losses)
         auxs = [np.asarray(a) for a in auxs]
         for s in range(steps):
@@ -399,7 +417,7 @@ class ProtoPNetTrainer(Trainer):
                 float(losses[s]),
             )
             self.results.update_loss(fold_num, float(losses[s]))
-        return state
+        return None
 
     def push_prototypes(self, state, model, dataset, pipeline, batch_size):
         """Project each prototype onto the nearest same-class latent patch
