@@ -822,20 +822,30 @@ class Trainer:
                 state, losses = train_epoch_scan(
                     state, dev, ids, resets_d, carry0
                 )
-                for l in np.asarray(losses):
-                    self.results.update_loss(fold_num, float(l))
+
+                def record_train(losses=losses):
+                    for l in np.asarray(losses):
+                        self.results.update_loss(fold_num, float(l))
+
+                self._defer(record_train)
                 return state
             state, (losses, logits) = eval_epoch_scan(
                 state, dev, ids, resets_d, carry0
             )
-            for l in np.asarray(losses):
-                self.results.update_meter("test_loss", fold_num, float(l))
-            out = mesh_lib.fetch_global(logits)  # (n, 1, S, 2)
-            preds = out.argmax(axis=-1).reshape(-1).tolist()
-            pred_idx = np.repeat(order, out.shape[2]).tolist()
-            self.record_classifier_results(
-                preds, pred_idx, dataset, fold_num, epoch_num
-            )
+
+            def record_eval(losses=losses, logits=logits, order=order,
+                            epoch_num=epoch_num):
+                for l in np.asarray(losses):
+                    self.results.update_meter(
+                        "test_loss", fold_num, float(l))
+                out = mesh_lib.fetch_global(logits)  # (n, 1, S, 2)
+                preds = out.argmax(axis=-1).reshape(-1).tolist()
+                pred_idx = np.repeat(order, out.shape[2]).tolist()
+                self.record_classifier_results(
+                    preds, pred_idx, dataset, fold_num, epoch_num
+                )
+
+            self._defer(record_eval)
             return state
 
         def run_epoch(state, dataset, train, fold_num, epoch_num):
@@ -889,15 +899,21 @@ class Trainer:
         resume = getattr(self, "resume_meta", None)
         if resume and resume["fold"] == fold_num:
             start_epoch = resume["epoch"]
-        for epoch_num in range(start_epoch, epochs + 1):
-            if not conf.get("no_train"):
-                state = run_epoch(state, train_dataset, True, fold_num,
-                                  epoch_num)
-            if not conf.get("no_test_after_epochs") or epoch_num == epochs:
-                state = run_epoch(state, test_dataset, False, fold_num,
-                                  epoch_num)
-            if conf.get("save_model_per_epoch") and conf.get("save_model"):
-                self.save_checkpoint(state, fold_num, epoch_num)
+        # fold-level dispatch pipelining (see the standard run_fold)
+        self._deferred = [] if conf.get("defer_fetch", True) else None
+        try:
+            for epoch_num in range(start_epoch, epochs + 1):
+                if not conf.get("no_train"):
+                    state = run_epoch(state, train_dataset, True, fold_num,
+                                      epoch_num)
+                if not conf.get("no_test_after_epochs") or epoch_num == epochs:
+                    state = run_epoch(state, test_dataset, False, fold_num,
+                                      epoch_num)
+                if conf.get("save_model_per_epoch") and conf.get("save_model"):
+                    self.save_checkpoint(state, fold_num, epoch_num)
+            self._flush_deferred()
+        finally:
+            self._deferred = None
         if conf.get("save_model"):
             self.save_checkpoint(state, fold_num, None)
         if resume and resume["fold"] == fold_num:
