@@ -179,6 +179,40 @@ class ParallelFoldTrainer(Trainer):
             )
             return state.replace(rng=rng), loss, out
 
+        @jax.jit
+        def eval_epoch_all(state, data_cache, target_cache, ids, masks):
+            """Whole test epoch, all folds, ONE dispatch (the eval mirror
+            of train_epoch_all): per scanned step the (F, B) index block
+            gathers on device and the vmapped eval scores every fold.
+            The per-step rng threading matches the host loop exactly."""
+
+            def body(s, xs):
+                ids_s, m = xs  # (F, B)
+                data = jnp.take(data_cache, ids_s, axis=0)
+                target = jnp.take(target_cache, ids_s, axis=0)
+                # pad slots gather a repeated real index; zero them so
+                # batch-scope BN statistics see the SAME zero pad rows as
+                # the host loop's _pad_batch (bit-equal eval numerics)
+                dshape = m.shape + (1,) * (data.ndim - 2)
+                data = data * m.reshape(dshape)
+                target = target * m.reshape(
+                    m.shape + (1,) * (target.ndim - 2)
+                ).astype(target.dtype)
+
+                def one(params, rng, data, target, mask, mu, std):
+                    rng, drng = split_state_rng(rng, rng_impl)
+                    loss, out = fold_loss(
+                        params, data, target, mask, mu, std, drng
+                    )
+                    return rng, loss, out
+
+                rng, loss, out = jax.vmap(one)(
+                    s.params, s.rng, data, target, m, mus, stds
+                )
+                return s.replace(rng=rng), (loss, out)
+
+            return jax.lax.scan(body, state, (ids, masks))
+
         if conf.get("load_checkpoint"):
             # one checkpoint seeds EVERY fold slice — the sequential
             # path restores the same file per fold (loop.py run_fold),
@@ -217,29 +251,47 @@ class ParallelFoldTrainer(Trainer):
         resume = getattr(self, "resume_meta", None)
         if resume:
             start_epoch = resume["epoch"]
-        for epoch_num in range(start_epoch, epochs + 1):
-            if not conf.get("no_train"):
-                use_device = (
-                    self._device_cache_eligible(train_dataset, None)
-                    and min(len(i) for i in fold_train_idx) >= batch_size
-                )
-                if use_device:
-                    state = self._parallel_train_epoch_device(
-                        state, train_epoch_all, train_dataset,
-                        fold_train_idx, batch_size, epoch_num,
+        # fold-level dispatch pipelining (see Trainer.run_fold): all
+        # epochs' train+eval scans enqueue back-to-back; host recording
+        # flushes once at the end
+        self._deferred = [] if conf.get("defer_fetch", True) else None
+        try:
+            for epoch_num in range(start_epoch, epochs + 1):
+                if not conf.get("no_train"):
+                    use_device = (
+                        self._device_cache_eligible(train_dataset, None)
+                        and min(len(i) for i in fold_train_idx) >= batch_size
                     )
-                else:
-                    state = self._parallel_train_epoch(
-                        state, train_step_all, train_dataset,
-                        fold_train_idx, batch_size, epoch_num,
+                    if use_device:
+                        state = self._parallel_train_epoch_device(
+                            state, train_epoch_all, train_dataset,
+                            fold_train_idx, batch_size, epoch_num,
+                        )
+                    else:
+                        state = self._parallel_train_epoch(
+                            state, train_step_all, train_dataset,
+                            fold_train_idx, batch_size, epoch_num,
+                        )
+                if not conf.get("no_test_after_epochs") or epoch_num == epochs:
+                    eval_use_device = (
+                        self._device_cache_eligible(test_dataset, None)
+                        and min(len(i) for i in fold_test_idx) > 0
                     )
-            if not conf.get("no_test_after_epochs") or epoch_num == epochs:
-                state = self._parallel_test_epoch(
-                    state, eval_step_all, test_dataset, fold_test_idx,
-                    batch_size, epoch_num,
-                )
-            if conf.get("save_model_per_epoch") and conf.get("save_model"):
-                self._save_fold_checkpoints(state, mus, stds, epoch_num)
+                    if eval_use_device:
+                        state = self._parallel_test_epoch_device(
+                            state, eval_epoch_all, test_dataset,
+                            fold_test_idx, batch_size, epoch_num,
+                        )
+                    else:
+                        state = self._parallel_test_epoch(
+                            state, eval_step_all, test_dataset,
+                            fold_test_idx, batch_size, epoch_num,
+                        )
+                if conf.get("save_model_per_epoch") and conf.get("save_model"):
+                    self._save_fold_checkpoints(state, mus, stds, epoch_num)
+            self._flush_deferred()
+        finally:
+            self._deferred = None
         if conf.get("save_model"):
             self._save_fold_checkpoints(state, mus, stds, None)
         self.resume_meta = None
@@ -288,6 +340,14 @@ class ParallelFoldTrainer(Trainer):
             state, dev["data"], dev["target"],
             jnp.asarray(ids.astype(np.int32)), jnp.asarray(masks),
         )
+        self._defer(
+            self._record_parallel_train_losses, losses, n_steps, n_folds,
+            epoch_num,
+        )
+        return state
+
+    def _record_parallel_train_losses(self, losses, n_steps, n_folds,
+                                      epoch_num):
         losses = np.asarray(losses)  # (n_steps, F)
         for s in range(n_steps):
             for f in range(n_folds):
@@ -296,7 +356,6 @@ class ParallelFoldTrainer(Trainer):
                     float(losses[s, f]),
                 )
                 self.results.update_loss(f, float(losses[s, f]))
-        return state
 
     def _parallel_train_epoch(self, state, train_step_all, dataset,
                               fold_idx, batch_size, epoch_num):
@@ -331,6 +390,67 @@ class ParallelFoldTrainer(Trainer):
             if self.conf.get("debug"):
                 break
         return state
+
+    def _parallel_test_epoch_device(self, state, eval_epoch_all, dataset,
+                                    fold_idx, batch_size, epoch_num):
+        """Device-cache eval fast path: the whole test epoch for all
+        folds in one dispatch.  Fold splits of unequal length pad with
+        repeated indexes under a zero mask; host-side vote recording
+        drops the pad rows, matching _parallel_test_epoch exactly."""
+        n_folds = len(fold_idx)
+        max_len = max(len(idx) for idx in fold_idx)
+        n_steps = -(-max_len // batch_size)
+        ids = np.zeros((n_steps, n_folds, batch_size), np.int32)
+        masks = np.zeros((n_steps, n_folds, batch_size), np.float32)
+        for f, idx in enumerate(fold_idx):
+            n = len(idx)
+            fill = idx[0] if n else 0
+            padded = np.concatenate(
+                [idx, np.full(n_steps * batch_size - n, fill, np.int64)]
+            )
+            ids[:, f, :] = padded.reshape(n_steps, batch_size)
+            m = np.zeros(n_steps * batch_size, np.float32)
+            m[:n] = 1.0
+            masks[:, f, :] = m.reshape(n_steps, batch_size)
+        dev = self._get_device_cache(dataset)
+        state, (losses, outs) = eval_epoch_all(
+            state, dev["data"], dev["target"],
+            jnp.asarray(ids), jnp.asarray(masks),
+        )
+        self._defer(
+            self._record_parallel_eval, losses, outs, fold_idx,
+            batch_size, dataset, epoch_num,
+        )
+        return state
+
+    def _record_parallel_eval(self, losses, outs, fold_idx, batch_size,
+                              dataset, epoch_num):
+        losses = np.asarray(losses)   # (n_steps, F)
+        outs = np.asarray(outs)       # (n_steps, F, B, ...)
+        n_steps = outs.shape[0]
+        for f in range(len(fold_idx)):
+            n = len(fold_idx[f])
+            if n == 0:
+                continue
+            # the host loop records one test_loss per step that carries
+            # at least one real window for this fold
+            for s in range(-(-n // batch_size)):
+                self.results.update_meter("test_loss", f,
+                                          float(losses[s, f]))
+            out_flat = outs[:, f].reshape(
+                (n_steps * batch_size,) + outs.shape[3:]
+            )[:n]
+            if self.spec.expand_obs_idx and out_flat.ndim == 3:
+                preds = out_flat.argmax(axis=-1).reshape(-1).tolist()
+                pred_idx = np.repeat(
+                    fold_idx[f], out_flat.shape[1]).tolist()
+            else:
+                preds = out_flat.argmax(axis=-1).tolist()
+                pred_idx = np.asarray(fold_idx[f]).tolist()
+            dataset.set_kfold_indexes_for_fold(f)
+            self.record_classifier_results(
+                preds, pred_idx, dataset, f, epoch_num
+            )
 
     def _parallel_test_epoch(self, state, eval_step_all, dataset, fold_idx,
                              batch_size, epoch_num):

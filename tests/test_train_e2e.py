@@ -158,9 +158,9 @@ def test_e2e_parallel_folds(synthetic_cohort, tmp_path):
 
 def test_e2e_parallel_folds_device_cache_both_paths(synthetic_cohort,
                                                     tmp_path):
-    """The parallel-fold device-cache epoch (one dispatch per epoch, all
-    folds) and the host-gather path both train to finite losses with the
-    same meter structure."""
+    """The parallel-fold device-cache TRAIN and EVAL scans (one dispatch
+    per epoch, all folds) must reproduce the host-gather path: same loss
+    sequences, same test-loss recording structure, same patient votes."""
     from deepards_tpu.train.loop import make_trainer
 
     metered = {}
@@ -179,13 +179,75 @@ def test_e2e_parallel_folds_device_cache_both_paths(synthetic_cohort,
         # the device path must have actually uploaded the cache (and the
         # host path must not have)
         assert bool(getattr(trainer, "_dev_caches", None)) == flag
-        metered[name] = [
-            list(results.get_meter("loss_epoch_1", f).values)
-            for f in (0, 1)
-        ]
+        metered[name] = {
+            "loss": [list(results.get_meter("loss_epoch_1", f).values)
+                     for f in (0, 1)],
+            "test_loss": [list(results.get_meter("test_loss", f).values)
+                          for f in (0, 1)],
+            "rows": results.results.sort_values(
+                ["fold_num", "patho"]).reset_index(drop=True),
+        }
     for f in (0, 1):
-        assert len(metered["dev"][f]) == len(metered["host"][f]) > 0
+        assert (len(metered["dev"]["loss"][f])
+                == len(metered["host"]["loss"][f]) > 0)
         np.testing.assert_allclose(
-            metered["dev"][f][:3], metered["host"][f][:3],
+            metered["dev"]["loss"][f][:3], metered["host"]["loss"][f][:3],
             rtol=1e-4, atol=1e-5,
         )
+        # eval after a full trained epoch: same per-step recording count
+        # (incl. the exhausted-fold skip); values drift with the f32
+        # compounding of the train epoch, so pin the statistics loosely
+        assert (len(metered["dev"]["test_loss"][f])
+                == len(metered["host"]["test_loss"][f]) > 0)
+        assert abs(
+            float(np.mean(metered["dev"]["test_loss"][f]))
+            - float(np.mean(metered["host"]["test_loss"][f]))
+        ) < 0.05
+    # patient-vote rows: identical structure
+    rd, rh = metered["dev"]["rows"], metered["host"]["rows"]
+    assert list(rd.patho) == list(rh.patho)
+    assert list(rd.fold_num) == list(rh.fold_num)
+
+
+def test_parallel_folds_eval_scan_matches_host(synthetic_cohort, tmp_path):
+    """The scanned device-cache eval must reproduce the host eval loop on
+    IDENTICAL params (no_train): same test-loss sequences (tight), same
+    vote fractions — isolates the eval path from train-epoch f32 drift,
+    incl. the zero-pad BN semantics of partial final batches."""
+    from deepards_tpu.train.loop import make_trainer
+
+    metered = {}
+    for name, flag in (("dev", True), ("host", False)):
+        conf = _conf(
+            synthetic_cohort,
+            results_dir=str(tmp_path / ("ev_" + name)),
+            kfolds=2,
+            epochs=1,
+            parallel_folds=True,
+            device_cache=flag,
+            no_train=True,
+            seed=29,
+        )
+        trainer = make_trainer(conf, verbose=False)
+        results = trainer.train_and_test()
+        metered[name] = {
+            "test_loss": [list(results.get_meter("test_loss", f).values)
+                          for f in (0, 1)],
+            "rows": results.results.sort_values(
+                ["fold_num", "patho"]).reset_index(drop=True),
+        }
+    for f in (0, 1):
+        assert (len(metered["dev"]["test_loss"][f])
+                == len(metered["host"]["test_loss"][f]) > 0)
+        np.testing.assert_allclose(
+            metered["dev"]["test_loss"][f],
+            metered["host"]["test_loss"][f],
+            rtol=1e-4, atol=1e-5,
+        )
+    rd, rh = metered["dev"]["rows"], metered["host"]["rows"]
+    assert list(rd.patho) == list(rh.patho)
+    assert list(rd.fold_num) == list(rh.fold_num)
+    np.testing.assert_allclose(
+        rd.pred_frac.to_numpy(float), rh.pred_frac.to_numpy(float),
+        atol=0.05,
+    )
