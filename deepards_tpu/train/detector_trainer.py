@@ -138,37 +138,52 @@ class DetectorTrainer(Trainer):
         resume = getattr(self, "resume_meta", None)
         if resume and resume["fold"] == fold_num:
             start_epoch = resume["epoch"]
-        for epoch_num in range(start_epoch, epochs + 1):
-            if not conf.get("no_train"):
-                idx = self.host_rng.permutation(
-                    train_dataset.current_indices()
-                )
-                for s in range(max(len(idx) // batch_size, 1)):
-                    sel = idx[s * batch_size : (s + 1) * batch_size]
-                    if len(sel) == 0:
-                        break
-                    b = train_dataset.gather(sel)
-                    rows = row_labels_from_boxes(b["boxes"], b["labels"])
-                    state, loss = train_step(
-                        state, jnp.asarray(b["data"]), jnp.asarray(rows)
+        # fold-level dispatch pipelining (see Trainer.run_fold)
+        self._deferred = [] if conf.get("defer_fetch", True) else None
+        try:
+            for epoch_num in range(start_epoch, epochs + 1):
+                if not conf.get("no_train"):
+                    idx = self.host_rng.permutation(
+                        train_dataset.current_indices()
                     )
-                    self.results.update_loss(fold_num, float(loss))
-                    if conf.get("debug"):
-                        break
-            if not conf.get("no_test_after_epochs") or epoch_num == epochs:
-                # train-split IoU stays as a sanity/overfit curve; the
-                # headline per-epoch metric is the HELD-OUT band IoU on
-                # the test split's own spliced bands (unseen windows)
-                state = self._detector_test_epoch(
-                    state, eval_step, train_dataset, fold_num, epoch_num,
-                    batch_size, meter="band_iou",
-                )
-                state = self._detector_test_epoch(
-                    state, eval_step, test_dataset, fold_num, epoch_num,
-                    batch_size, meter="band_iou_test",
-                )
-            if conf.get("save_model_per_epoch") and conf.get("save_model"):
-                self.save_checkpoint(state, fold_num, epoch_num)
+                    losses = []
+                    for s in range(max(len(idx) // batch_size, 1)):
+                        sel = idx[s * batch_size : (s + 1) * batch_size]
+                        if len(sel) == 0:
+                            break
+                        b = train_dataset.gather(sel)
+                        rows = row_labels_from_boxes(
+                            b["boxes"], b["labels"])
+                        state, loss = train_step(
+                            state, jnp.asarray(b["data"]),
+                            jnp.asarray(rows)
+                        )
+                        losses.append(loss)
+                        if conf.get("debug"):
+                            break
+
+                    def record_losses(losses=losses, fold_num=fold_num):
+                        for l in losses:
+                            self.results.update_loss(fold_num, float(l))
+
+                    self._defer(record_losses)
+                if not conf.get("no_test_after_epochs") or epoch_num == epochs:
+                    # train-split IoU stays as a sanity/overfit curve; the
+                    # headline per-epoch metric is the HELD-OUT band IoU on
+                    # the test split's own spliced bands (unseen windows)
+                    state = self._detector_test_epoch(
+                        state, eval_step, train_dataset, fold_num,
+                        epoch_num, batch_size, meter="band_iou",
+                    )
+                    state = self._detector_test_epoch(
+                        state, eval_step, test_dataset, fold_num,
+                        epoch_num, batch_size, meter="band_iou_test",
+                    )
+                if conf.get("save_model_per_epoch") and conf.get("save_model"):
+                    self.save_checkpoint(state, fold_num, epoch_num)
+            self._flush_deferred()
+        finally:
+            self._deferred = None
         if conf.get("save_model"):
             self.save_checkpoint(state, fold_num, None)
         if resume and resume["fold"] == fold_num:
@@ -204,14 +219,25 @@ class DetectorTrainer(Trainer):
                 state, jnp.asarray(data), jnp.asarray(rows),
                 jnp.asarray(weights),
             )
-            losses.append((float(loss), n_real))
+            losses.append((loss, n_real))
+            ious.append((logits, n_real, b["boxes"], b["labels"]))
+        self._defer(
+            self._record_detector_eval, losses, ious, fold_num, epoch_num,
+            meter,
+        )
+        return state
+
+    def _record_detector_eval(self, losses, batches, fold_num, epoch_num,
+                              meter):
+        ious = []
+        for logits, n_real, boxes, labels in batches:
             bands = extract_bands(
                 np.asarray(logits)[:n_real], threshold=0.0)
             ious.extend(
-                band_iou(bands[i], b["boxes"][i], b["labels"][i])
+                band_iou(bands[i], boxes[i], labels[i])
                 for i in range(n_real)
             )
-        mean_loss = (sum(ls * n for ls, n in losses)
+        mean_loss = (sum(float(ls) * n for ls, n in losses)
                      / max(sum(n for _, n in losses), 1))
         if meter == "band_iou_test":
             # only the held-out split feeds the test_loss meter — the
@@ -222,7 +248,6 @@ class DetectorTrainer(Trainer):
         self.results.update_epoch_meter(
             meter, epoch_num, float(np.mean(ious))
         )
-        return state
 
     def perform_post_modeling_actions(self):
         self.results.save_all()

@@ -1220,15 +1220,35 @@ class Trainer:
                 state, eval_step, dataset, fold_num, epoch_num
             )
         loader = EpochLoader(dataset, batch_size, shuffle=False)
+
+        # gather/transform/device_put of batch N+1 overlaps eval step N
+        # on device (mirror of the train loop's prefetch); host
+        # materialization of every batch's loss/logits is queued and
+        # processed after the last dispatch, so the device streams
+        # through the whole test epoch without a host round trip
+        def prepare(batch):
+            obs_idx = batch.pop("index")
+            n_real = batch["data"].shape[0]
+            batch, mask = self._prepare_batch(batch, batch_size)
+            return batch, mask, obs_idx, n_real
+
+        pending = []
+        for batch, mask, obs_idx, n_real in PrefetchLoader(
+            loader, map_fn=prepare
+        ):
+            state, loss, out = eval_step(state, batch, mask)
+            pending.append((loss, out, obs_idx, n_real, batch["target"]))
+        self._defer(
+            self._record_host_eval, pending, dataset, fold_num, epoch_num
+        )
+        return state
+
+    def _record_host_eval(self, pending, dataset, fold_num, epoch_num):
         preds = []
         pred_idx = []
         reg_preds = []
         reg_targets = []
-        for batch in loader:
-            obs_idx = batch.pop("index")
-            n_real = batch["data"].shape[0]
-            batch, mask = self._prepare_batch(batch, batch_size)
-            state, loss, out = eval_step(state, batch, mask)
+        for loss, out, obs_idx, n_real, target in pending:
             self.results.update_meter("test_loss", fold_num, float(loss))
             self.results.update_epoch_meter(
                 "test_loss", epoch_num, float(loss)
@@ -1248,7 +1268,7 @@ class Trainer:
                 preds.extend(batch_preds.tolist())
             elif self.spec.kind == "regressor":
                 reg_preds.append(out)
-                reg_targets.append(np.asarray(batch["target"])[:n_real])
+                reg_targets.append(np.asarray(target)[:n_real])
         if self.spec.kind == "classifier":
             self.record_classifier_results(
                 preds, pred_idx, dataset, fold_num, epoch_num
@@ -1259,7 +1279,6 @@ class Trainer:
                 np.concatenate(reg_targets),
                 fold_num,
             )
-        return state
 
     def record_classifier_results(self, preds, pred_idx, dataset, fold_num,
                                   epoch_num):

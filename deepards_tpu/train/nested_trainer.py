@@ -150,28 +150,43 @@ class NestedTrainer(Trainer):
         resume = getattr(self, "resume_meta", None)
         if resume and resume["fold"] == fold_num:
             start_epoch = resume["epoch"]
-        for epoch_num in range(start_epoch, epochs + 1):
-            if not conf.get("no_train"):
-                order = self.host_rng.permutation(len(groups))
-                for gi in order:
-                    pt, idxs, y = groups[gi]
-                    data, wmask = self._gather_super_batch(
-                        train_dataset, idxs)
-                    target = jnp.asarray(
-                        np.eye(2, dtype=np.float32)[y][None])
-                    state, loss = train_step(
-                        state, jnp.asarray(data), target,
-                        jnp.asarray(wmask)
+        # fold-level dispatch pipelining (see Trainer.run_fold): the
+        # per-patient super-batch dispatches enqueue back-to-back; loss
+        # materialization flushes at fold end
+        self._deferred = [] if conf.get("defer_fetch", True) else None
+        try:
+            for epoch_num in range(start_epoch, epochs + 1):
+                if not conf.get("no_train"):
+                    order = self.host_rng.permutation(len(groups))
+                    losses = []
+                    for gi in order:
+                        pt, idxs, y = groups[gi]
+                        data, wmask = self._gather_super_batch(
+                            train_dataset, idxs)
+                        target = jnp.asarray(
+                            np.eye(2, dtype=np.float32)[y][None])
+                        state, loss = train_step(
+                            state, jnp.asarray(data), target,
+                            jnp.asarray(wmask)
+                        )
+                        losses.append(loss)
+                        if conf.get("debug"):
+                            break
+
+                    def record_losses(losses=losses, fold_num=fold_num):
+                        for l in losses:
+                            self.results.update_loss(fold_num, float(l))
+
+                    self._defer(record_losses)
+                if not conf.get("no_test_after_epochs") or epoch_num == epochs:
+                    state = self._nested_test_epoch(
+                        state, eval_step, test_dataset, fold_num, epoch_num
                     )
-                    self.results.update_loss(fold_num, float(loss))
-                    if conf.get("debug"):
-                        break
-            if not conf.get("no_test_after_epochs") or epoch_num == epochs:
-                state = self._nested_test_epoch(
-                    state, eval_step, test_dataset, fold_num, epoch_num
-                )
-            if conf.get("save_model_per_epoch") and conf.get("save_model"):
-                self.save_checkpoint(state, fold_num, epoch_num)
+                if conf.get("save_model_per_epoch") and conf.get("save_model"):
+                    self.save_checkpoint(state, fold_num, epoch_num)
+            self._flush_deferred()
+        finally:
+            self._deferred = None
         if conf.get("save_model"):
             self.save_checkpoint(state, fold_num, None)
         if resume and resume["fold"] == fold_num:
@@ -181,13 +196,22 @@ class NestedTrainer(Trainer):
 
     def _nested_test_epoch(self, state, eval_step, dataset, fold_num,
                            epoch_num):
-        preds, pred_idx = [], []
+        pending = []
         for pt, idxs, y in self._patient_groups(dataset):
             data, wmask = self._gather_super_batch(dataset, idxs)
             target = jnp.asarray(np.eye(2, dtype=np.float32)[y][None])
             state, loss, out = eval_step(
                 state, jnp.asarray(data), target, jnp.asarray(wmask)
             )
+            pending.append((loss, out, idxs))
+        self._defer(
+            self._record_nested_eval, pending, dataset, fold_num, epoch_num
+        )
+        return state
+
+    def _record_nested_eval(self, pending, dataset, fold_num, epoch_num):
+        preds, pred_idx = [], []
+        for loss, out, idxs in pending:
             self.results.update_meter("test_loss", fold_num, float(loss))
             out = np.asarray(out)[0, : len(idxs)]  # (W, 2) drop padding
             preds.extend(out.argmax(axis=-1).tolist())
@@ -195,4 +219,3 @@ class NestedTrainer(Trainer):
         self.record_classifier_results(
             preds, pred_idx, dataset, fold_num, epoch_num
         )
-        return state

@@ -159,48 +159,60 @@ class SiameseTrainer(Trainer):
         use_device = self._device_cache_eligible(train_dataset.base, None)
         if use_device:
             dev = self._get_device_cache(train_dataset.base)
-        for epoch_num in range(1, epochs + 1):
-            order = self.host_rng.permutation(len(train_dataset))
-            n_batches = len(order) // batch_size
-            if use_device and n_batches >= 1 and not conf.get("debug"):
-                a, p, n = train_dataset.sample_triplet_indices(
-                    order[: n_batches * batch_size]
-                )
-                shape = (n_batches, batch_size)
-                state, losses = train_epoch_scan(
-                    state, dev["data"],
-                    jnp.asarray(a.reshape(shape).astype(np.int32)),
-                    jnp.asarray(p.reshape(shape).astype(np.int32)),
-                    jnp.asarray(n.reshape(shape).astype(np.int32)),
-                )
-                for l in np.asarray(losses):
-                    self.results.update_loss(fold_num, float(l))
-            else:
-                for bi in range(max(n_batches, 1)):
-                    rel = order[bi * batch_size : (bi + 1) * batch_size]
-                    if len(rel) < batch_size:
-                        break
-                    seq, pos, neg = train_dataset.sample_triplets(rel)
-                    state, loss = train_step(
-                        state, jnp.asarray(seq), jnp.asarray(pos),
-                        jnp.asarray(neg),
+        # fold-level dispatch pipelining (see Trainer.run_fold)
+        self._deferred = [] if conf.get("defer_fetch", True) else None
+        try:
+            for epoch_num in range(1, epochs + 1):
+                order = self.host_rng.permutation(len(train_dataset))
+                n_batches = len(order) // batch_size
+                if use_device and n_batches >= 1 and not conf.get("debug"):
+                    a, p, n = train_dataset.sample_triplet_indices(
+                        order[: n_batches * batch_size]
                     )
-                    self.results.update_loss(fold_num, float(loss))
-                    if conf.get("debug"):
-                        break
-            state = self._siamese_test_epoch(
-                state, eval_step, test_dataset, fold_num, epoch_num,
-                batch_size,
-            )
+                    shape = (n_batches, batch_size)
+                    state, losses = train_epoch_scan(
+                        state, dev["data"],
+                        jnp.asarray(a.reshape(shape).astype(np.int32)),
+                        jnp.asarray(p.reshape(shape).astype(np.int32)),
+                        jnp.asarray(n.reshape(shape).astype(np.int32)),
+                    )
+                    self._defer(self._record_siamese_losses, losses,
+                                fold_num)
+                else:
+                    losses = []
+                    for bi in range(max(n_batches, 1)):
+                        rel = order[bi * batch_size : (bi + 1) * batch_size]
+                        if len(rel) < batch_size:
+                            break
+                        seq, pos, neg = train_dataset.sample_triplets(rel)
+                        state, loss = train_step(
+                            state, jnp.asarray(seq), jnp.asarray(pos),
+                            jnp.asarray(neg),
+                        )
+                        losses.append(loss)
+                        if conf.get("debug"):
+                            break
+                    self._defer(self._record_siamese_losses, losses,
+                                fold_num)
+                state = self._siamese_test_epoch(
+                    state, eval_step, test_dataset, fold_num, epoch_num,
+                    batch_size,
+                )
+            self._flush_deferred()
+        finally:
+            self._deferred = None
         if conf.get("save_model"):
             self.save_checkpoint(state, fold_num, None)
         self.final_state = state
         return state
 
+    def _record_siamese_losses(self, losses, fold_num):
+        for l in np.asarray(losses):
+            self.results.update_loss(fold_num, float(l))
+
     def _siamese_test_epoch(self, state, eval_step, dataset, fold_num,
                             epoch_num, batch_size):
-        preds = []
-        targets = []
+        pending = []
         n_batches = max(len(dataset) // batch_size, 1)
         for bi in range(n_batches):
             rel = np.arange(bi * batch_size,
@@ -211,6 +223,16 @@ class SiameseTrainer(Trainer):
             state, loss, out_pos, out_neg = eval_step(
                 state, jnp.asarray(seq), jnp.asarray(pos), jnp.asarray(neg)
             )
+            pending.append((loss, out_pos, out_neg))
+        self._defer(
+            self._record_siamese_eval, pending, fold_num, epoch_num
+        )
+        return state
+
+    def _record_siamese_eval(self, pending, fold_num, epoch_num):
+        preds = []
+        targets = []
+        for loss, out_pos, out_neg in pending:
             self.results.update_meter("test_loss", fold_num, float(loss))
             self.results.update_epoch_meter(
                 "test_loss", epoch_num, float(loss)
@@ -222,7 +244,6 @@ class SiameseTrainer(Trainer):
             accuracy = float(np.mean(np.array(preds) == np.array(targets)))
             self.results.update_meter("accuracy", fold_num, accuracy)
             self.results.update_epoch_meter("accuracy", epoch_num, accuracy)
-        return state
 
     def perform_post_modeling_actions(self):
         self.results.save_all()
