@@ -905,13 +905,9 @@ def config6():
     PIPE_EPOCHS = 5
 
     def pipelined_fold():
-        trainer._deferred = []
-        try:
+        with trainer.deferred_fetch():
             for _ in range(PIPE_EPOCHS):
                 one_epoch()
-            trainer._flush_deferred()
-        finally:
-            trainer._deferred = None
 
     pipelined_fold()  # warm the deferred path
     t_pipe = _median_time(pipelined_fold, repeats=3) / PIPE_EPOCHS
@@ -966,9 +962,12 @@ def config6():
     # for this config (losses are materialized to host, so enqueue-only
     # timing cannot happen); flops/MFU are null because the timed region
     # includes real epoch bookkeeping, not a pure compute program
-    if breakdown is not None:
-        breakdown["seqs_per_sec_blocking"] = round(n_seqs / t1, 1)
-        breakdown["pipelined_epochs"] = PIPE_EPOCHS
+    # the blocking number is measured independently of the floor
+    # breakdown — attach it even when the breakdown instrumentation
+    # failed, so the note's promise always holds
+    breakdown = dict(breakdown or {})
+    breakdown["seqs_per_sec_blocking"] = round(n_seqs / t1, 1)
+    breakdown["pipelined_epochs"] = PIPE_EPOCHS
     return {
         "seqs_per_sec": n_seqs / t_pipe,
         "time": t_pipe,

@@ -60,9 +60,8 @@ def main(argv=None):
         model_names = conf.models[fold] if "models" in conf.conf else []
         # pipeline the ensemble members like run_fold pipelines epochs:
         # every checkpoint's eval scan enqueues back-to-back, host-side
-        # vote aggregation flushes once per fold
-        trainer._deferred = []
-        try:
+        # vote aggregation flushes once per fold (honors defer_fetch)
+        with trainer.deferred_fetch():
             for i, model_name in enumerate(model_names):
                 path = os.path.join(args.saved_models_dir, model_name)
                 state = create_train_state(
@@ -74,9 +73,6 @@ def main(argv=None):
                 # each checkpoint acts as one pseudo-epoch
                 trainer.run_test_epoch(state, eval_step, test_dataset,
                                        fold, i)
-            trainer._flush_deferred()
-        finally:
-            trainer._deferred = None
 
     print("\nMean Results")
     rows = []

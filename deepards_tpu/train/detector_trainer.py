@@ -138,9 +138,8 @@ class DetectorTrainer(Trainer):
         resume = getattr(self, "resume_meta", None)
         if resume and resume["fold"] == fold_num:
             start_epoch = resume["epoch"]
-        # fold-level dispatch pipelining (see Trainer.run_fold)
-        self._deferred = [] if conf.get("defer_fetch", True) else None
-        try:
+        # fold-level dispatch pipelining (see Trainer.deferred_fetch)
+        with self.deferred_fetch():
             for epoch_num in range(start_epoch, epochs + 1):
                 if not conf.get("no_train"):
                     idx = self.host_rng.permutation(
@@ -163,7 +162,8 @@ class DetectorTrainer(Trainer):
                             break
 
                     def record_losses(losses=losses, fold_num=fold_num):
-                        for l in losses:
+                        # one batched transfer for the epoch's step losses
+                        for l in jax.device_get(losses):
                             self.results.update_loss(fold_num, float(l))
 
                     self._defer(record_losses)
@@ -181,9 +181,6 @@ class DetectorTrainer(Trainer):
                     )
                 if conf.get("save_model_per_epoch") and conf.get("save_model"):
                     self.save_checkpoint(state, fold_num, epoch_num)
-            self._flush_deferred()
-        finally:
-            self._deferred = None
         if conf.get("save_model"):
             self.save_checkpoint(state, fold_num, None)
         if resume and resume["fold"] == fold_num:
@@ -230,6 +227,8 @@ class DetectorTrainer(Trainer):
     def _record_detector_eval(self, losses, batches, fold_num, epoch_num,
                               meter):
         ious = []
+        losses = jax.device_get(losses)    # one batched transfer
+        batches = jax.device_get(batches)
         for logits, n_real, boxes, labels in batches:
             bands = extract_bands(
                 np.asarray(logits)[:n_real], threshold=0.0)

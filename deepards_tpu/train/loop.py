@@ -437,17 +437,12 @@ class Trainer:
         resume = getattr(self, "resume_meta", None)
         if resume and resume["fold"] == fold_num:
             start_epoch = resume["epoch"]
-        # Fold-level dispatch pipelining: with the deferred-fetch queue
-        # armed, the device-cache epoch paths queue their host-side result
-        # recording (loss fetch, prediction gather, vote aggregation)
-        # instead of blocking on it, so every epoch's train+eval scans are
-        # enqueued back-to-back and the per-epoch dispatch+fetch round trip
-        # (~30ms over the chip tunnel) overlaps device compute.  Recorded
-        # results are bit-identical — only host materialization moves to
-        # the end of the fold.  `defer_fetch: false` restores per-epoch
-        # blocking (e.g. to watch metrics live).
-        self._deferred = [] if conf.get("defer_fetch", True) else None
-        try:
+        # Fold-level dispatch pipelining (see deferred_fetch): the epoch
+        # paths queue host-side result recording instead of blocking, so
+        # every epoch's train+eval scans enqueue back-to-back and the
+        # per-epoch dispatch+fetch round trip (~30ms over the chip
+        # tunnel) overlaps device compute.
+        with self.deferred_fetch():
             for epoch_num in range(start_epoch, epochs + 1):
                 epoch_resume = (
                     resume
@@ -469,9 +464,6 @@ class Trainer:
                     )
                 if conf.get("save_model_per_epoch") and conf.get("save_model"):
                     self.save_checkpoint(state, fold_num, epoch_num)
-            self._flush_deferred()
-        finally:
-            self._deferred = None
         if conf.get("save_model"):
             self.save_checkpoint(state, fold_num, None)
         if resume and resume["fold"] == fold_num:
@@ -666,23 +658,72 @@ class Trainer:
     # -- deferred host materialization -----------------------------------
 
     _deferred = None
+    # backstop so a pathologically long fold cannot pin unbounded device
+    # buffers: past this many queued recordings the queue flushes early
+    # (the flush fetches mostly-completed buffers; dispatches already
+    # enqueued keep the device busy)
+    _DEFER_MAX_PENDING = 64
+
+    def deferred_fetch(self):
+        """Fold-level dispatch pipelining: while armed, the epoch paths
+        queue host-side result recording (loss fetch, prediction gather,
+        vote aggregation) via _defer instead of blocking on it, so every
+        epoch's scans enqueue back-to-back and the per-epoch
+        dispatch+fetch round trip overlaps device compute.  Recorded
+        results are bit-identical — only host materialization moves to
+        the flush.  ``defer_fetch: false`` disables arming (record
+        inline, e.g. to watch metrics live).  On an exception the queue
+        is flushed best-effort so already-computed metrics survive for
+        post-mortems, matching what the blocking path would have
+        recorded."""
+        import contextlib
+
+        trainer = self
+
+        @contextlib.contextmanager
+        def armed():
+            trainer._deferred = (
+                [] if trainer.conf.get("defer_fetch", True) else None
+            )
+            try:
+                yield
+                trainer._flush_deferred()
+            finally:
+                try:
+                    # no-op on the normal path (queue already drained);
+                    # on an exception this salvages every recording whose
+                    # dispatch completed, without masking the original
+                    # error
+                    trainer._flush_deferred(best_effort=True)
+                finally:
+                    trainer._deferred = None
+
+        return armed()
 
     def _defer(self, fn, *args):
         """Queue host-side result recording when the fold-level pipeline
-        is armed (run_fold), else record inline.  Deferring keeps device
-        futures alive without blocking, so the next epoch's scans enqueue
-        immediately and the per-epoch dispatch+fetch floor overlaps
-        compute."""
+        is armed (deferred_fetch), else record inline."""
         if self._deferred is not None:
             self._deferred.append(lambda: fn(*args))
+            if len(self._deferred) >= self._DEFER_MAX_PENDING:
+                self._flush_deferred(rearm=True)
         else:
             fn(*args)
 
-    def _flush_deferred(self):
-        work = self._deferred or []
-        self._deferred = None
-        for fn in work:
-            fn()
+    def _flush_deferred(self, best_effort=False, rearm=False):
+        work = self._deferred
+        if work is None:
+            work = []
+        self._deferred = [] if rearm else self._deferred
+        while work:
+            fn = work.pop(0)
+            if best_effort:
+                try:
+                    fn()
+                except Exception:
+                    pass
+            else:
+                fn()
 
     def _record_train_losses(self, losses, fold_num, epoch_num):
         for l in np.asarray(losses):
@@ -899,9 +940,8 @@ class Trainer:
         resume = getattr(self, "resume_meta", None)
         if resume and resume["fold"] == fold_num:
             start_epoch = resume["epoch"]
-        # fold-level dispatch pipelining (see the standard run_fold)
-        self._deferred = [] if conf.get("defer_fetch", True) else None
-        try:
+        # fold-level dispatch pipelining (see deferred_fetch)
+        with self.deferred_fetch():
             for epoch_num in range(start_epoch, epochs + 1):
                 if not conf.get("no_train"):
                     state = run_epoch(state, train_dataset, True, fold_num,
@@ -911,9 +951,6 @@ class Trainer:
                                       epoch_num)
                 if conf.get("save_model_per_epoch") and conf.get("save_model"):
                     self.save_checkpoint(state, fold_num, epoch_num)
-            self._flush_deferred()
-        finally:
-            self._deferred = None
         if conf.get("save_model"):
             self.save_checkpoint(state, fold_num, None)
         if resume and resume["fold"] == fold_num:
@@ -1248,10 +1285,16 @@ class Trainer:
         pred_idx = []
         reg_preds = []
         reg_targets = []
-        for loss, out, obs_idx, n_real, target in pending:
-            self.results.update_meter("test_loss", fold_num, float(loss))
+        # one batched transfer for the epoch's per-batch loss scalars
+        # instead of a device round trip per float()
+        losses = jax.device_get([p[0] for p in pending])
+        for (loss, out, obs_idx, n_real, target), loss_h in zip(
+            pending, losses
+        ):
+            self.results.update_meter("test_loss", fold_num,
+                                      float(loss_h))
             self.results.update_epoch_meter(
-                "test_loss", epoch_num, float(loss)
+                "test_loss", epoch_num, float(loss_h)
             )
             out = mesh_lib.fetch_global(out)[:n_real]
             if self.spec.kind == "classifier":

@@ -150,11 +150,10 @@ class NestedTrainer(Trainer):
         resume = getattr(self, "resume_meta", None)
         if resume and resume["fold"] == fold_num:
             start_epoch = resume["epoch"]
-        # fold-level dispatch pipelining (see Trainer.run_fold): the
-        # per-patient super-batch dispatches enqueue back-to-back; loss
-        # materialization flushes at fold end
-        self._deferred = [] if conf.get("defer_fetch", True) else None
-        try:
+        # fold-level dispatch pipelining (see Trainer.deferred_fetch):
+        # the per-patient super-batch dispatches enqueue back-to-back;
+        # loss materialization flushes at fold end
+        with self.deferred_fetch():
             for epoch_num in range(start_epoch, epochs + 1):
                 if not conf.get("no_train"):
                     order = self.host_rng.permutation(len(groups))
@@ -174,7 +173,9 @@ class NestedTrainer(Trainer):
                             break
 
                     def record_losses(losses=losses, fold_num=fold_num):
-                        for l in losses:
+                        # one batched transfer for the whole epoch's
+                        # step losses instead of a round trip per scalar
+                        for l in jax.device_get(losses):
                             self.results.update_loss(fold_num, float(l))
 
                     self._defer(record_losses)
@@ -184,9 +185,6 @@ class NestedTrainer(Trainer):
                     )
                 if conf.get("save_model_per_epoch") and conf.get("save_model"):
                     self.save_checkpoint(state, fold_num, epoch_num)
-            self._flush_deferred()
-        finally:
-            self._deferred = None
         if conf.get("save_model"):
             self.save_checkpoint(state, fold_num, None)
         if resume and resume["fold"] == fold_num:
@@ -211,6 +209,7 @@ class NestedTrainer(Trainer):
 
     def _record_nested_eval(self, pending, dataset, fold_num, epoch_num):
         preds, pred_idx = [], []
+        pending = jax.device_get(pending)  # one batched transfer
         for loss, out, idxs in pending:
             self.results.update_meter("test_loss", fold_num, float(loss))
             out = np.asarray(out)[0, : len(idxs)]  # (W, 2) drop padding

@@ -251,11 +251,10 @@ class ParallelFoldTrainer(Trainer):
         resume = getattr(self, "resume_meta", None)
         if resume:
             start_epoch = resume["epoch"]
-        # fold-level dispatch pipelining (see Trainer.run_fold): all
-        # epochs' train+eval scans enqueue back-to-back; host recording
-        # flushes once at the end
-        self._deferred = [] if conf.get("defer_fetch", True) else None
-        try:
+        # fold-level dispatch pipelining (see Trainer.deferred_fetch):
+        # all epochs' train+eval scans enqueue back-to-back; host
+        # recording flushes once at the end
+        with self.deferred_fetch():
             for epoch_num in range(start_epoch, epochs + 1):
                 if not conf.get("no_train"):
                     use_device = (
@@ -289,9 +288,6 @@ class ParallelFoldTrainer(Trainer):
                         )
                 if conf.get("save_model_per_epoch") and conf.get("save_model"):
                     self._save_fold_checkpoints(state, mus, stds, epoch_num)
-            self._flush_deferred()
-        finally:
-            self._deferred = None
         if conf.get("save_model"):
             self._save_fold_checkpoints(state, mus, stds, None)
         self.resume_meta = None

@@ -273,11 +273,11 @@ class ProtoPNetTrainer(Trainer):
         n_push_iters = conf.get("n_push_iters", 5)
         batch_size = conf.get("batch_size", 16)
 
-        # fold-level dispatch pipelining (see Trainer.run_fold): staged
-        # epochs + evals enqueue back-to-back; prototype pushes still
-        # synchronize inherently (they materialize features on host)
-        self._deferred = [] if conf.get("defer_fetch", True) else None
-        try:
+        # fold-level dispatch pipelining (see Trainer.deferred_fetch):
+        # staged epochs + evals enqueue back-to-back; prototype pushes
+        # still synchronize inherently (they materialize features on
+        # host)
+        with self.deferred_fetch():
             for epoch_num in range(1, epochs + 1):
                 stage = "warm" if epoch_num <= n_warm else "joint"
                 state = self._run_ppnet_epoch(
@@ -302,9 +302,6 @@ class ProtoPNetTrainer(Trainer):
                 )
                 if conf.get("save_model_per_epoch") and conf.get("save_model"):
                     self.save_checkpoint(state, fold_num, epoch_num)
-            self._flush_deferred()
-        finally:
-            self._deferred = None
         # checkpointing parity with the base trainer: the reference's
         # BaseTraining saves every network type incl. ProtoPNet
         # (train_ards_detector.py:355-374)

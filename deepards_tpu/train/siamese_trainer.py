@@ -159,9 +159,8 @@ class SiameseTrainer(Trainer):
         use_device = self._device_cache_eligible(train_dataset.base, None)
         if use_device:
             dev = self._get_device_cache(train_dataset.base)
-        # fold-level dispatch pipelining (see Trainer.run_fold)
-        self._deferred = [] if conf.get("defer_fetch", True) else None
-        try:
+        # fold-level dispatch pipelining (see Trainer.deferred_fetch)
+        with self.deferred_fetch():
             for epoch_num in range(1, epochs + 1):
                 order = self.host_rng.permutation(len(train_dataset))
                 n_batches = len(order) // batch_size
@@ -198,16 +197,13 @@ class SiameseTrainer(Trainer):
                     state, eval_step, test_dataset, fold_num, epoch_num,
                     batch_size,
                 )
-            self._flush_deferred()
-        finally:
-            self._deferred = None
         if conf.get("save_model"):
             self.save_checkpoint(state, fold_num, None)
         self.final_state = state
         return state
 
     def _record_siamese_losses(self, losses, fold_num):
-        for l in np.asarray(losses):
+        for l in np.asarray(jax.device_get(losses)):
             self.results.update_loss(fold_num, float(l))
 
     def _siamese_test_epoch(self, state, eval_step, dataset, fold_num,
@@ -232,6 +228,7 @@ class SiameseTrainer(Trainer):
     def _record_siamese_eval(self, pending, fold_num, epoch_num):
         preds = []
         targets = []
+        pending = jax.device_get(pending)  # one batched transfer
         for loss, out_pos, out_neg in pending:
             self.results.update_meter("test_loss", fold_num, float(loss))
             self.results.update_epoch_meter(

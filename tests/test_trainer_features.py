@@ -603,3 +603,56 @@ def test_defer_fetch_results_identical(synthetic_cohort, tmp_path):
                                       err_msg=name)
     # vote-aggregation rows (patho/accuracy/auc per epoch) bit-identical
     assert stats_d.equals(stats_b)
+
+
+@pytest.mark.parametrize("mode_over, meters", [
+    (dict(network="retinanet_2d", n_sub_batches=4, batch_size=4),
+     ("loss", "band_iou", "band_iou_test", "test_loss")),
+    (dict(network="cnn_to_nested_lstm", n_sub_batches=4, batch_size=1),
+     ("loss", "test_loss", "test_auc")),
+    (dict(network="siamese_cnn_linear", n_sub_batches=4, batch_size=8,
+          kfolds=None, only_fold=None, holdout_set_type="main"),
+     ("loss", "test_loss", "accuracy")),
+    (dict(parallel_folds=True, only_fold=None),
+     ("loss", "test_loss", "test_auc")),
+])
+def test_defer_fetch_identity_other_modes(synthetic_cohort, tmp_path,
+                                          mode_over, meters):
+    """Every trainer mode's deferred-fetch path must record the SAME
+    meters as per-epoch blocking — detector, nested super-batch,
+    siamese, and parallel-fold (the standard path is pinned by
+    test_defer_fetch_results_identical)."""
+    from deepards_tpu.config import Configuration
+    from deepards_tpu.train.loop import make_trainer
+
+    def run(flag, d):
+        over = dict(
+            data_path=synthetic_cohort["data_path"],
+            cohort_file=synthetic_cohort["cohort_file"],
+            experiment_num=1,
+            base_network="densenet18",
+            dataset_type="unpadded_centered_sequences",
+            kfolds=2,
+            only_fold=0,
+            epochs=2,
+            compute_dtype="float32",
+            results_dir=str(d),
+            seed=17,
+            defer_fetch=flag,
+        )
+        over.update(mode_over)
+        t = make_trainer(Configuration(overrides=over), verbose=False)
+        t.train_and_test()
+        assert t._deferred is None
+        fold = 0
+        return {
+            name: list(t.results.get_meter(name, fold).values)
+            for name in meters
+        }
+
+    deferred = run(True, tmp_path / "defer")
+    blocking = run(False, tmp_path / "block")
+    for name in meters:
+        assert len(deferred[name]) == len(blocking[name]) > 0, name
+        np.testing.assert_array_equal(deferred[name], blocking[name],
+                                      err_msg=name)
