@@ -656,3 +656,54 @@ def test_defer_fetch_identity_other_modes(synthetic_cohort, tmp_path,
         assert len(deferred[name]) == len(blocking[name]) > 0, name
         np.testing.assert_array_equal(deferred[name], blocking[name],
                                       err_msg=name)
+
+
+def test_deferred_fetch_cap_salvage_and_inline():
+    """Unit contract of the fold-level pipeline queue: the 64-entry cap
+    flushes early in order, an exception mid-fold salvages queued
+    recordings without masking the original error, and defer_fetch=false
+    records inline."""
+    t = object.__new__(Trainer)
+    t.conf = {"defer_fetch": True}
+
+    # cap: exceeding _DEFER_MAX_PENDING flushes early, order preserved
+    calls = []
+    with t.deferred_fetch():
+        for i in range(Trainer._DEFER_MAX_PENDING + 5):
+            t._defer(calls.append, i)
+        assert len(calls) >= Trainer._DEFER_MAX_PENDING  # early flush ran
+    assert calls == list(range(Trainer._DEFER_MAX_PENDING + 5))
+    assert t._deferred is None
+
+    # salvage: an exception mid-fold still flushes queued recordings,
+    # and a failing recording in the salvage can't mask the fold error
+    salvaged = []
+
+    def bad():
+        raise ValueError("recording failed")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        with t.deferred_fetch():
+            t._defer(bad)
+            t._defer(salvaged.append, "b")
+            raise RuntimeError("boom")
+    assert salvaged == ["b"]
+    assert t._deferred is None
+
+    # normal path: a failing recording propagates, later entries still
+    # drain through the finally's best-effort pass
+    drained = []
+    with pytest.raises(ValueError, match="recording failed"):
+        with t.deferred_fetch():
+            t._defer(bad)
+            t._defer(drained.append, "c")
+    assert drained == ["c"]
+    assert t._deferred is None
+
+    # defer_fetch=false: never queued, recorded inline
+    t.conf = {"defer_fetch": False}
+    inline = []
+    with t.deferred_fetch():
+        t._defer(inline.append, "now")
+        assert inline == ["now"]
+        assert t._deferred is None
