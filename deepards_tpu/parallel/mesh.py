@@ -126,6 +126,25 @@ def fetch_global(x):
     return np.asarray(x)
 
 
+def fetch_global_list(xs):
+    """fetch_global over a list in ONE host transfer when possible.
+
+    Single-process (the common case): one batched jax.device_get for
+    the whole list instead of a device round trip per element.  Across
+    processes each non-addressable element still needs its own
+    allgather, so fall back to per-element fetch_global there."""
+    import numpy as np
+
+    xs = list(xs)
+    if jax.process_count() > 1 and any(
+        getattr(x, "sharding", None) is not None
+        and not x.is_fully_addressable
+        for x in xs
+    ):
+        return [fetch_global(x) for x in xs]
+    return [np.asarray(x) for x in jax.device_get(xs)]
+
+
 # shard the classifier-head Dense (and its optimizer trace, which mirrors
 # the param tree) over the model axis: kernel (F, out) column-sharded,
 # bias (out,) sharded.  Matched by substring against the pytree key path.

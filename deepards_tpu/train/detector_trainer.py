@@ -161,12 +161,7 @@ class DetectorTrainer(Trainer):
                         if conf.get("debug"):
                             break
 
-                    def record_losses(losses=losses, fold_num=fold_num):
-                        # one batched transfer for the epoch's step losses
-                        for l in jax.device_get(losses):
-                            self.results.update_loss(fold_num, float(l))
-
-                    self._defer(record_losses)
+                    self._defer(self._record_step_losses, losses, fold_num)
                 if not conf.get("no_test_after_epochs") or epoch_num == epochs:
                     # train-split IoU stays as a sanity/overfit curve; the
                     # headline per-epoch metric is the HELD-OUT band IoU on

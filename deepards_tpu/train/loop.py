@@ -8,6 +8,7 @@ shape padded batches on the device mesh, collects per-window predictions
 on the host, and feeds the patient-vote aggregation of
 ``deepards_tpu.eval.metrics``.
 """
+import contextlib
 import os
 import time
 
@@ -634,7 +635,9 @@ class Trainer:
         masks = np.ones(steps * target, np.float32)
         if pad:
             masks[n:] = 0.0
-            perm = np.concatenate([perm, perm[:pad]])
+            # np.resize tiles cyclically, so this also covers pad > n
+            # (split smaller than one padded batch); pad rows are masked
+            perm = np.resize(perm, steps * target)
         dev = self._get_device_cache(dataset)
         if self.verbose:
             print("train instances: {} (device-cache epoch)".format(steps))
@@ -664,6 +667,7 @@ class Trainer:
     # enqueued keep the device busy)
     _DEFER_MAX_PENDING = 64
 
+    @contextlib.contextmanager
     def deferred_fetch(self):
         """Fold-level dispatch pipelining: while armed, the epoch paths
         queue host-side result recording (loss fetch, prediction gather,
@@ -676,29 +680,18 @@ class Trainer:
         is flushed best-effort so already-computed metrics survive for
         post-mortems, matching what the blocking path would have
         recorded."""
-        import contextlib
-
-        trainer = self
-
-        @contextlib.contextmanager
-        def armed():
-            trainer._deferred = (
-                [] if trainer.conf.get("defer_fetch", True) else None
-            )
+        self._deferred = [] if self.conf.get("defer_fetch", True) else None
+        try:
+            yield
+            self._flush_deferred()
+        finally:
             try:
-                yield
-                trainer._flush_deferred()
+                # no-op on the normal path (queue already drained); on
+                # an exception this salvages every recording whose
+                # dispatch completed, without masking the original error
+                self._flush_deferred(best_effort=True)
             finally:
-                try:
-                    # no-op on the normal path (queue already drained);
-                    # on an exception this salvages every recording whose
-                    # dispatch completed, without masking the original
-                    # error
-                    trainer._flush_deferred(best_effort=True)
-                finally:
-                    trainer._deferred = None
-
-        return armed()
+                self._deferred = None
 
     def _defer(self, fn, *args):
         """Queue host-side result recording when the fold-level pipeline
@@ -723,7 +716,27 @@ class Trainer:
                 except Exception:
                     pass
             else:
-                fn()
+                try:
+                    fn()
+                except Exception:
+                    # salvage the recordings queued after the failing
+                    # one (their dispatches already completed) so a
+                    # cap-triggered early flush keeps the same
+                    # metrics-survive contract as the exit flush, then
+                    # surface the original error
+                    while work:
+                        try:
+                            work.pop(0)()
+                        except Exception:
+                            pass
+                    raise
+
+    def _record_step_losses(self, losses, fold_num):
+        """Shared deferred recorder for host-loop epochs (detector,
+        nested, siamese): one batched transfer for the epoch's step
+        losses instead of a device round trip per scalar."""
+        for l in jax.device_get(losses):
+            self.results.update_loss(fold_num, float(l))
 
     def _record_train_losses(self, losses, fold_num, epoch_num):
         for l in np.asarray(losses):
@@ -1205,7 +1218,8 @@ class Trainer:
         perm = idx
         if pad:
             masks[n:] = 0.0
-            perm = np.concatenate([idx, idx[:pad]])
+            # cyclic tiling covers splits smaller than one padded batch
+            perm = np.resize(idx, steps * target)
         dev = self._get_device_cache(dataset)
         scan = self._device_eval_scan(eval_step, "metadata" in dev)
         rep = mesh_lib.replicated(self.mesh)
@@ -1285,18 +1299,19 @@ class Trainer:
         pred_idx = []
         reg_preds = []
         reg_targets = []
-        # one batched transfer for the epoch's per-batch loss scalars
-        # instead of a device round trip per float()
+        # one batched transfer each for the epoch's per-batch loss
+        # scalars and logits instead of a device round trip per batch
         losses = jax.device_get([p[0] for p in pending])
-        for (loss, out, obs_idx, n_real, target), loss_h in zip(
-            pending, losses
+        outs = mesh_lib.fetch_global_list([p[1] for p in pending])
+        for (loss, _, obs_idx, n_real, target), loss_h, out in zip(
+            pending, losses, outs
         ):
             self.results.update_meter("test_loss", fold_num,
                                       float(loss_h))
             self.results.update_epoch_meter(
                 "test_loss", epoch_num, float(loss_h)
             )
-            out = mesh_lib.fetch_global(out)[:n_real]
+            out = out[:n_real]
             if self.spec.kind == "classifier":
                 if self.spec.expand_obs_idx:
                     # per-breath logits (B,S,2): every window index repeats

@@ -172,13 +172,7 @@ class NestedTrainer(Trainer):
                         if conf.get("debug"):
                             break
 
-                    def record_losses(losses=losses, fold_num=fold_num):
-                        # one batched transfer for the whole epoch's
-                        # step losses instead of a round trip per scalar
-                        for l in jax.device_get(losses):
-                            self.results.update_loss(fold_num, float(l))
-
-                    self._defer(record_losses)
+                    self._defer(self._record_step_losses, losses, fold_num)
                 if not conf.get("no_test_after_epochs") or epoch_num == epochs:
                     state = self._nested_test_epoch(
                         state, eval_step, test_dataset, fold_num, epoch_num

@@ -353,7 +353,8 @@ class ProtoPNetTrainer(Trainer):
         masks = np.ones(steps * target, np.float32)
         if pad:
             masks[n:] = 0.0
-            perm = np.concatenate([perm, perm[:pad]])
+            # cyclic tiling covers splits smaller than one padded batch
+            perm = np.resize(perm, steps * target)
         dev = self._get_device_cache(dataset)
         # same generation-token cache scheme as Trainer._device_epoch_scan
         # (id()-keying recycles after GC and would alias a stale closure)
@@ -414,7 +415,6 @@ class ProtoPNetTrainer(Trainer):
                 float(losses[s]),
             )
             self.results.update_loss(fold_num, float(losses[s]))
-        return None
 
     def push_prototypes(self, state, model, dataset, pipeline, batch_size):
         """Project each prototype onto the nearest same-class latent patch

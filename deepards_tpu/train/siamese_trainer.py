@@ -175,7 +175,7 @@ class SiameseTrainer(Trainer):
                         jnp.asarray(p.reshape(shape).astype(np.int32)),
                         jnp.asarray(n.reshape(shape).astype(np.int32)),
                     )
-                    self._defer(self._record_siamese_losses, losses,
+                    self._defer(self._record_step_losses, losses,
                                 fold_num)
                 else:
                     losses = []
@@ -191,7 +191,7 @@ class SiameseTrainer(Trainer):
                         losses.append(loss)
                         if conf.get("debug"):
                             break
-                    self._defer(self._record_siamese_losses, losses,
+                    self._defer(self._record_step_losses, losses,
                                 fold_num)
                 state = self._siamese_test_epoch(
                     state, eval_step, test_dataset, fold_num, epoch_num,
@@ -201,10 +201,6 @@ class SiameseTrainer(Trainer):
             self.save_checkpoint(state, fold_num, None)
         self.final_state = state
         return state
-
-    def _record_siamese_losses(self, losses, fold_num):
-        for l in np.asarray(jax.device_get(losses)):
-            self.results.update_loss(fold_num, float(l))
 
     def _siamese_test_epoch(self, state, eval_step, dataset, fold_num,
                             epoch_num, batch_size):

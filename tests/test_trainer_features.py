@@ -520,6 +520,20 @@ def test_device_cache_epoch_matches_host_path(synthetic_cohort, tmp_path):
     assert abs(float(np.mean(dev)) - float(np.mean(host))) < 0.02
 
 
+def test_device_cache_split_smaller_than_batch(synthetic_cohort, tmp_path):
+    """A train/eval split smaller than one padded batch must still run:
+    the pad tiling wraps the permutation cyclically (regression for the
+    crash where ``perm[:pad]`` under-filled the pad when pad > n)."""
+    conf = _conf(
+        synthetic_cohort, tmp_path,
+        batch_size=512, device_cache=True,
+    )
+    trainer = make_trainer(conf, verbose=False)
+    results = trainer.train_and_test()
+    assert len(results.get_meter("loss", 0)) > 0
+    assert len(results.get_meter("test_auc", 0)) == 1
+
+
 def test_stateful_device_epoch_matches_host(synthetic_cohort, tmp_path):
     """The scanned stateful epoch (carry reset at patient boundaries)
     must reproduce the host per-window loop's early losses exactly."""
@@ -698,6 +712,19 @@ def test_deferred_fetch_cap_salvage_and_inline():
             t._defer(bad)
             t._defer(drained.append, "c")
     assert drained == ["c"]
+    assert t._deferred is None
+
+    # cap-triggered early flush: a failing recording mid-flush salvages
+    # every recording queued after it (same metrics-survive contract as
+    # the exit flush) before the error surfaces
+    cap_survivors = []
+    n_after = Trainer._DEFER_MAX_PENDING - 1  # bad + these reach the cap
+    with pytest.raises(ValueError, match="recording failed"):
+        with t.deferred_fetch():
+            t._defer(bad)
+            for i in range(n_after):
+                t._defer(cap_survivors.append, i)
+    assert cap_survivors == list(range(n_after))
     assert t._deferred is None
 
     # defer_fetch=false: never queued, recorded inline
