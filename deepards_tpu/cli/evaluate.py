@@ -55,6 +55,7 @@ def main(argv=None):
             model, tx, trainer.loss_fn,
             target_mode=trainer.spec.target_mode, transform=pipeline,
             compute_dtype=trainer.compute_dtype,
+            bn_mask_rows="batch" if trainer.spec.two_dim else "windows",
         )
         sample = test_dataset.gather(test_dataset.current_indices()[:2])
         model_names = conf.models[fold] if "models" in conf.conf else []

@@ -30,14 +30,26 @@ def predict(conf, checkpoint_path, batch_size=16):
     restored = ckpt.restore(checkpoint_path)
     params = restored["params"]
 
+    from deepards_tpu.models.layers import bn_row_mask
+
+    two_dim = bool(getattr(trainer.spec, "two_dim", False))
+
     @jax.jit
-    def forward(params, data):
+    def forward(params, data, mask):
         if pipeline is not None:
             data = pipeline(data)
-        out = model.apply(
-            {"params": params}, data, None, False,
-            rngs={"dropout": jax.random.PRNGKey(0)},
+        # pad rows must not contaminate batch-scope BN statistics in the
+        # final partial chunk (reference true-size final-batch semantics;
+        # same fix class as serve.py's bn_scope default)
+        rows_mask = (
+            mask if (two_dim or data.ndim != 4)
+            else jnp.repeat(mask, data.shape[1])
         )
+        with bn_row_mask(rows_mask):
+            out = model.apply(
+                {"params": params}, data, None, False,
+                rngs={"dropout": jax.random.PRNGKey(0)},
+            )
         if isinstance(out, tuple):
             out = out[0]
         return jax.nn.softmax(out, axis=-1)
@@ -49,11 +61,15 @@ def predict(conf, checkpoint_path, batch_size=16):
         batch = test_ds.gather(chunk)
         pad = batch_size - len(chunk)
         data = batch["data"]
+        mask = np.ones(batch_size, np.float32)
         if pad:
             data = np.concatenate(
                 [data, np.zeros((pad,) + data.shape[1:], data.dtype)]
             )
-        probs = np.asarray(forward(params, jnp.asarray(data)))[: len(chunk)]
+            mask[len(chunk):] = 0.0
+        probs = np.asarray(
+            forward(params, jnp.asarray(data), jnp.asarray(mask))
+        )[: len(chunk)]
         if probs.ndim == 3:  # per-breath heads -> mean over windows
             probs = probs.mean(axis=1)
         gt = test_ds.get_ground_truth_df()

@@ -8,12 +8,61 @@ Conventions:
   and never switches to eval mode (reference: deepards/models/densenet.py:107,
   deepards/train_ards_detector.py:427-448), so test-time behavior equals
   train-time behavior; AUC parity requires reproducing this exactly.
+- The reference's DataLoader feeds the final partial batch of every epoch
+  at its TRUE size, so batch statistics cover real rows only (reference:
+  deepards/train_ards_detector.py:424-448, torch DataLoader keeps the
+  short final batch).  The rebuild pads every batch to a fixed shape; the
+  ``bn_row_mask`` scope threads the step's row-validity mask into every
+  ``BatchStatNorm`` so pad rows are excluded from the statistics —
+  real-row outputs then equal a true-size dispatch exactly, with no
+  recompile per tail shape.
 """
+import contextlib
 import math
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+# Stack of row-validity masks scoped around model.apply by the train/eval
+# steps.  Entries are traced arrays, valid only within the trace that
+# pushed them (the context manager pops on exit, so a mask can never leak
+# across traces).
+_BN_ROW_MASK = []
+
+
+@contextlib.contextmanager
+def bn_row_mask(mask):
+    """Scope a per-row validity mask for BatchStatNorm statistics.
+
+    ``mask`` carries one entry per backbone row — the leading batch axis
+    of the arrays BatchStatNorm sees (B*S for the windowed 1D layout where
+    heads flatten (B, S, C, L) into B*S rows, B for the 2D image layout).
+    Within the scope, every BatchStatNorm whose input's leading axis
+    matches ``len(mask)`` computes mask-weighted mean/var, reproducing the
+    reference's true-size final-batch statistics
+    (reference: deepards/train_ards_detector.py:424-448).  Norm sites with
+    a different leading axis — e.g. per-sequence ``nn.vmap`` lifts under
+    ``bn_scope='sequence'``, whose statistics pad rows cannot contaminate
+    anyway — are unaffected.
+    """
+    if mask is None:
+        yield
+        return
+    _BN_ROW_MASK.append(jnp.asarray(mask))
+    try:
+        yield
+    finally:
+        _BN_ROW_MASK.pop()
+
+
+def current_bn_row_mask(n_rows):
+    """The scoped row mask if one is set AND matches ``n_rows``, else None."""
+    if not _BN_ROW_MASK:
+        return None
+    mask = _BN_ROW_MASK[-1]
+    return mask if mask.shape[0] == n_rows else None
 
 
 def conv_kernel_init(kernel_size):
@@ -44,8 +93,28 @@ class BatchStatNorm(nn.Module):
         # float32 even under bfloat16 compute for numerical stability
         axes = tuple(range(x.ndim - 1))
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=axes, keepdims=True)
-        var = jnp.var(xf, axis=axes, keepdims=True)
+        row_mask = current_bn_row_mask(x.shape[0])
+        if row_mask is not None:
+            # mask-weighted statistics: pad rows contribute nothing, so
+            # real rows normalize exactly as a true-size batch would
+            # (reference final-partial-batch semantics,
+            # train_ards_detector.py:424-448).  With an all-ones mask this
+            # reduces to the unmasked sums bit-for-bit.
+            m = row_mask.astype(jnp.float32).reshape(
+                (-1,) + (1,) * (x.ndim - 1)
+            )
+            per_row = 1
+            for d in x.shape[1:-1]:
+                per_row *= d
+            count = jnp.maximum(jnp.sum(m), 1.0) * float(per_row)
+            mean = jnp.sum(xf * m, axis=axes, keepdims=True) / count
+            var = (
+                jnp.sum(jnp.square(xf - mean) * m, axis=axes, keepdims=True)
+                / count
+            )
+        else:
+            mean = jnp.mean(xf, axis=axes, keepdims=True)
+            var = jnp.var(xf, axis=axes, keepdims=True)
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)

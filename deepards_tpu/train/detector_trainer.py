@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from deepards_tpu.models.layers import bn_row_mask
 from deepards_tpu.models.detection2d import (
     detection_loss,
     extract_bands,
@@ -104,14 +105,17 @@ class DetectorTrainer(Trainer):
         @jax.jit
         def eval_step(state, data, row_targets, weights):
             # weights mask out the zero-pad rows of fixed-shape eval
-            # batches so the recorded loss is a mean over real windows
+            # batches so the recorded loss is a mean over real windows;
+            # the same mask scopes BatchStatNorm so pad images cannot
+            # contaminate the batch statistics (2D rows == batch rows)
             rng, drng = split_state_rng(state.rng, rng_impl)
             data_c = _maybe_cast(data, compute_dtype)
             params_c = _maybe_cast(state.params, compute_dtype)
-            logits = model.apply(
-                {"params": params_c}, data_c, None, False,
-                rngs={"dropout": drng},
-            ).astype(jnp.float32)
+            with bn_row_mask(weights):
+                logits = model.apply(
+                    {"params": params_c}, data_c, None, False,
+                    rngs={"dropout": drng},
+                ).astype(jnp.float32)
             loss = detection_loss(
                 logits, row_targets, gamma=gamma, alpha=alpha,
                 weights=weights,

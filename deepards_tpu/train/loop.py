@@ -366,6 +366,10 @@ class Trainer:
 
     def run_fold(self, fold_num, train_dataset, test_dataset, tx):
         conf = self.conf
+        # observability: window counts of the fold just run (tests use
+        # these to assert a deliberately non-divisible split padded)
+        self.last_train_count = len(train_dataset.current_indices())
+        self.last_test_count = len(test_dataset.current_indices())
         model = self.build_model()
         if self.spec.two_dim:
             pipeline = None  # ImgARDSDataset.gather pre-normalizes
@@ -427,6 +431,8 @@ class Trainer:
             compute_dtype=self.compute_dtype,
             eval_dropout_active=not self.spec.eval_dropout_off,
             rng_impl=self._rng_impl(),
+            # 2D image batches are (B, C, H, W): backbone rows == B
+            bn_mask_rows="batch" if self.spec.two_dim else "windows",
         )
         if self.spec.stateful_lstm and conf.get("unshuffled"):
             return self._run_stateful_fold(

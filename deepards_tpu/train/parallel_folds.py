@@ -20,6 +20,7 @@ import numpy as np
 import optax
 import pandas as pd
 
+from deepards_tpu.models.layers import bn_row_mask
 from deepards_tpu.parallel import mesh as mesh_lib
 from deepards_tpu.train.loop import Trainer, _pad_batch
 from deepards_tpu.train.steps import (
@@ -108,10 +109,13 @@ class ParallelFoldTrainer(Trainer):
             data = normalize(data, mu, std)
             data = _maybe_cast(data, compute_dtype)
             params_c = _maybe_cast(params, compute_dtype)
-            out = model.apply(
-                {"params": params_c}, data, None, False,
-                rngs={"dropout": rng},
-            )
+            # pad-proof BN statistics: same reference true-size-final-batch
+            # semantics as the sequential path (steps.py loss_wrap)
+            with bn_row_mask(jnp.repeat(mask, data.shape[1])):
+                out = model.apply(
+                    {"params": params_c}, data, None, False,
+                    rngs={"dropout": rng},
+                )
             if isinstance(out, tuple):
                 out = out[0]
             out = out.astype(jnp.float32)
@@ -190,9 +194,11 @@ class ParallelFoldTrainer(Trainer):
                 ids_s, m = xs  # (F, B)
                 data = jnp.take(data_cache, ids_s, axis=0)
                 target = jnp.take(target_cache, ids_s, axis=0)
-                # pad slots gather a repeated real index; zero them so
-                # batch-scope BN statistics see the SAME zero pad rows as
-                # the host loop's _pad_batch (bit-equal eval numerics)
+                # pad slots gather a repeated real index; zero them to
+                # match the host loop's _pad_batch byte-for-byte.  BN
+                # statistics no longer see pad rows at all (fold_loss
+                # scopes a bn_row_mask), so this is data-level parity
+                # only, not a normalization requirement.
                 dshape = m.shape + (1,) * (data.ndim - 2)
                 data = data * m.reshape(dshape)
                 target = target * m.reshape(

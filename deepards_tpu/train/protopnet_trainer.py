@@ -18,6 +18,7 @@ import numpy as np
 import optax
 
 from deepards_tpu.data.pipeline import BatchPipeline
+from deepards_tpu.models.layers import bn_row_mask
 from deepards_tpu.models.protopnet1d import construct_ppnet
 from deepards_tpu.models.registry import get_base_network
 from deepards_tpu.parallel import mesh as mesh_lib
@@ -201,14 +202,25 @@ class ProtoPNetTrainer(Trainer):
         use_l1 = bool(conf.get("use_l1"))
         compute_dtype = self.compute_dtype
 
+        # 1D protopnet flattens (B, S, C, L) into B*S backbone rows; 2D
+        # backbone rows are B.  The expanded mask keeps BN statistics
+        # pad-proof (reference true-size final-batch semantics).
+        two_dim = bool(getattr(self.spec, "two_dim", False))
+
+        def expand_bn_mask(mask, data):
+            if two_dim or data.ndim != 4:
+                return mask
+            return jnp.repeat(mask, data.shape[1])
+
         def loss_wrap(params, batch, mask, dropout_rng):
             data = pipeline(batch["data"])
             data = _maybe_cast(data, compute_dtype)
             params_c = _maybe_cast(params, compute_dtype)
-            logits, min_d = model.apply(
-                {"params": params_c}, data, None, False,
-                rngs={"dropout": dropout_rng},
-            )
+            with bn_row_mask(expand_bn_mask(mask, data)):
+                logits, min_d = model.apply(
+                    {"params": params_c}, data, None, False,
+                    rngs={"dropout": dropout_rng},
+                )
             logits = logits.astype(jnp.float32)
             min_d = min_d.astype(jnp.float32)
             kernel = params["last_layer"]["kernel"] if use_l1 else None
@@ -253,10 +265,11 @@ class ProtoPNetTrainer(Trainer):
         def eval_step(state, batch, mask):
             rng, drng = split_state_rng(state.rng, rng_impl)
             data = pipeline(batch["data"])
-            logits, min_d = model.apply(
-                {"params": state.params}, data, None, True,
-                rngs={"dropout": drng},
-            )
+            with bn_row_mask(expand_bn_mask(mask, data)):
+                logits, min_d = model.apply(
+                    {"params": state.params}, data, None, True,
+                    rngs={"dropout": drng},
+                )
             loss, _ = ppnet_loss(
                 logits.astype(jnp.float32),
                 batch["target"],
@@ -425,13 +438,25 @@ class ProtoPNetTrainer(Trainer):
         c = model.proto_channels
         ident = model.class_identity()  # (P, n_cls)
 
+        two_dim = bool(
+            getattr(getattr(self, "spec", None), "two_dim", False)
+        )
+
         @jax.jit
         def batch_min(params, data, target, row_valid):
-            feats, dists = model.apply(
-                {"params": params}, pipeline(data), None, True,
-                method=model.push_forward,
-                rngs={"dropout": jax.random.PRNGKey(0)},
+            piped = pipeline(data)
+            # pad-proof BN statistics for the push pass too: pad rows may
+            # not skew the latent patches real prototypes project onto
+            bn_mask = (
+                row_valid if (two_dim or piped.ndim != 4)
+                else jnp.repeat(row_valid, piped.shape[1])
             )
+            with bn_row_mask(bn_mask):
+                feats, dists = model.apply(
+                    {"params": params}, piped, None, True,
+                    method=model.push_forward,
+                    rngs={"dropout": jax.random.PRNGKey(0)},
+                )
             # 1D: feats (B,S,L',C) dists (B,S,L'',P);
             # 2D: feats (B,H',W',C) dists (B,H'*W',P) — flatten both to
             # (B, positions, .) uniformly

@@ -16,6 +16,8 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from deepards_tpu.models.layers import bn_row_mask
+
 
 _STEP_TOKENS = itertools.count(1)
 
@@ -144,6 +146,7 @@ def make_train_step(
     dropout_active: bool = True,
     eval_dropout_active: Optional[bool] = None,
     rng_impl=None,
+    bn_mask_rows: Optional[str] = "windows",
 ):
     """Build the jitted train step.
 
@@ -154,10 +157,23 @@ def make_train_step(
     - 'regression': direct pred-vs-target
     - 'autoencoder': pred vs transformed input
     transform: the device-side normalization pipeline applied to raw data.
+    bn_mask_rows: how the step's (B,) row mask maps onto backbone rows for
+    pad-proof BatchStatNorm statistics (reference true-size final-batch
+    semantics, train_ards_detector.py:424-448) — 'windows' for the 1D
+    layout where heads flatten (B, S, C, L) into B*S backbone rows (the
+    default), 'batch' for 2D image models whose backbone rows are B,
+    None to disable masking.
     """
 
     if eval_dropout_active is None:
         eval_dropout_active = dropout_active
+
+    def expand_bn_mask(mask, data):
+        if bn_mask_rows == "windows" and data.ndim == 4:
+            return jnp.repeat(mask, data.shape[1])
+        if bn_mask_rows in ("windows", "batch"):
+            return mask
+        return None
 
     def loss_wrap(params, batch, mask, dropout_rng, active=dropout_active):
         data = batch["data"]
@@ -165,13 +181,14 @@ def make_train_step(
             data = transform(data)
         data = _maybe_cast(data, compute_dtype)
         params_c = _maybe_cast(params, compute_dtype)
-        out = model.apply(
-            {"params": params_c},
-            data,
-            batch.get("metadata"),
-            not active,
-            rngs={"dropout": dropout_rng},
-        )
+        with bn_row_mask(expand_bn_mask(mask, data)):
+            out = model.apply(
+                {"params": params_c},
+                data,
+                batch.get("metadata"),
+                not active,
+                rngs={"dropout": dropout_rng},
+            )
         if isinstance(out, tuple):
             out = out[0]  # stateful heads return (logits, carry)
         out = out.astype(jnp.float32)

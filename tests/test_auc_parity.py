@@ -21,6 +21,10 @@ import os
 import numpy as np
 import pytest
 
+# full-sweep module: heavyweight e2e/differential tests, excluded from
+# the default quick gate (run with `pytest -m ''`)
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 REF = "/root/reference/deepards/models"
@@ -57,12 +61,17 @@ def _patient_auc(dataset, pred_frac_by_idx):
 def parity_cohort(tmp_path_factory):
     """Bigger cohort than the suite default: 16 patients -> 8 test
     patients per fold, so patient-vote AUC has enough resolution for a
-    meaningful parity comparison."""
+    meaningful parity comparison.  800 breaths/patient: with the
+    round-5 true-size final-batch BN semantics (bn_row_mask) the old
+    400-breath cohort became borderline at 5 epochs (max AUC 0.75-0.875,
+    one misranked patient from the bar on an 8-patient fold whose AUC
+    quantum is 0.125); doubling the windows restores a comfortable
+    learnability margin (measured: max AUC 1.0 at epoch 5)."""
     from deepards_tpu.data.synthetic import generate_cohort
 
     data_path = str(tmp_path_factory.mktemp("parity_cohort"))
     cohort_file = generate_cohort(
-        data_path, n_patients=16, n_breaths_per_patient=400, seed=77,
+        data_path, n_patients=16, n_breaths_per_patient=800, seed=77,
     )
     return {"data_path": data_path, "cohort_file": cohort_file}
 

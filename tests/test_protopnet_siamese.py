@@ -5,6 +5,10 @@ import pytest
 from deepards_tpu.config import Configuration
 from deepards_tpu.train.loop import make_trainer
 
+# full-sweep module: heavyweight e2e/differential tests, excluded from
+# the default quick gate (run with `pytest -m ''`)
+pytestmark = pytest.mark.slow
+
 
 def test_ppnet_model_shapes():
     import jax
@@ -176,9 +180,13 @@ def test_push_padded_batch_exact_min(synthetic_cohort):
     discard a real runner-up patch (exact-min parity with ppnet_push).
     Dataset of 3 windows with batch_size=2 -> second batch is half pad;
     every prototype's pushed distance must equal the min over all real
-    same-class windows computed with the SAME batching (BatchStatNorm
-    makes features batch-dependent, so the oracle replays the loader's
-    batches, padding included)."""
+    same-class windows.  BatchStatNorm makes features batch-dependent,
+    so the oracle replays the loader's batches — and because the push
+    pass scopes `bn_row_mask`, the half-pad final batch must produce the
+    SAME features as a true-size dispatch (reference semantics: torch
+    DataLoader feeds the short final batch at its real size,
+    train_ards_detector.py:424-448), so the oracle feeds batch 2 at its
+    true size with no pad row."""
     import jax
     import jax.numpy as jnp
 
@@ -232,8 +240,8 @@ def test_push_padded_batch_exact_min(synthetic_cohort):
         return d.reshape(d.shape[0], -1, d.shape[-1])  # (B, pos, P)
 
     b1 = batch_dists(data[[0, 1]])
-    pad = np.zeros_like(data[2:3])
-    b2 = batch_dists(np.concatenate([data[2:3], pad], axis=0))
+    # true-size final batch: the padded dispatch (masked BN) must match
+    b2 = batch_dists(data[2:3])
 
     ident = model.class_identity()
     cls_of_proto = ident.argmax(axis=1)

@@ -7,6 +7,10 @@ import pytest
 from deepards_tpu.config import Configuration
 from deepards_tpu.train.loop import Trainer, make_trainer
 
+# full-sweep module: heavyweight e2e/differential tests, excluded from
+# the default quick gate (run with `pytest -m ''`)
+pytestmark = pytest.mark.slow
+
 
 def _conf(synthetic_cohort, tmp, **over):
     base = dict(
@@ -508,16 +512,116 @@ def test_device_cache_epoch_matches_host_path(synthetic_cohort, tmp_path):
         ))
         t = make_trainer(conf, verbose=False)
         t.train_and_test()
-        return list(t.results.get_meter("loss_epoch_1", 0).values)
+        return (
+            list(t.results.get_meter("loss_epoch_1", 0).values),
+            t.last_train_count,
+        )
 
-    dev = run(dict(device_cache=True), tmp_path / "dev")
-    host = run(dict(device_cache=False, fused_steps=1), tmp_path / "host")
+    dev, n_train = run(dict(device_cache=True), tmp_path / "dev")
+    host, _ = run(dict(device_cache=False, fused_steps=1), tmp_path / "host")
     assert len(dev) == len(host) > 0
-    # identical permutation + rng stream; the two compiled programs only
-    # differ by f32 rounding, which compounds over steps — pin the first
-    # steps tightly and the epoch statistics loosely
-    np.testing.assert_allclose(dev[:5], host[:5], rtol=1e-4, atol=1e-5)
+    # the split must be non-divisible so the final batch really pads —
+    # both paths pad to the dp-divisible target (8 on the test mesh)
+    assert n_train % 8 != 0, "fixture no longer exercises a padded tail"
+    # identical permutation + rng stream + (via bn_row_mask) identical
+    # final-partial-batch statistics.  Early steps pin tightly; later
+    # steps cannot (two different XLA programs differ by ~1 ULP per
+    # step, and SGD feedback compounds that chaotically — measured:
+    # step 4 diff 2e-6 growing to ~0.05 by step 26), so the epoch mean
+    # takes over.  The compounding-free pad-composition instruments are
+    # test_device_cache_eval_identical_no_train (all steps, fixed
+    # params) and test_single_padded_batch_identical below.
+    np.testing.assert_allclose(dev[:5], host[:5], rtol=1e-5, atol=1e-6)
     assert abs(float(np.mean(dev)) - float(np.mean(host))) < 0.02
+
+
+def test_device_cache_eval_identical_no_train(synthetic_cohort, tmp_path):
+    """With no_train (identical params in both paths — same seed, no
+    update feedback), EVERY test-epoch loss must match between the
+    device-cache eval scan (cyclic-tile pads) and the host loop
+    (zero pads): bn_row_mask excludes pad rows from BN statistics, so
+    pad CONTENT cannot reach real-row numerics.  This pins the final
+    padded eval batch across the whole epoch — the divergence the old
+    mean-based pin could hide."""
+    import numpy as np
+
+    from deepards_tpu.config import Configuration
+    from deepards_tpu.train.loop import make_trainer
+
+    def run(extra, d):
+        conf = Configuration(overrides=dict(
+            data_path=synthetic_cohort["data_path"],
+            cohort_file=synthetic_cohort["cohort_file"],
+            experiment_num=1,
+            network="cnn_linear",
+            base_network="densenet18",
+            dataset_type="unpadded_centered_sequences",
+            n_sub_batches=2,
+            kfolds=2,
+            only_fold=0,
+            epochs=1,
+            no_train=True,
+            batch_size=8,
+            compute_dtype="float32",
+            results_dir=str(d),
+            seed=11,
+            **extra,
+        ))
+        t = make_trainer(conf, verbose=False)
+        t.train_and_test()
+        return (
+            list(t.results.get_meter("test_loss", 0).values),
+            t.last_test_count,
+        )
+
+    dev, n_test = run(dict(device_cache=True), tmp_path / "dev")
+    host, _ = run(dict(device_cache=False), tmp_path / "host")
+    assert len(dev) == len(host) > 1
+    assert n_test % 8 != 0, "fixture no longer exercises a padded tail"
+    np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-6)
+
+
+def test_single_padded_batch_identical(synthetic_cohort, tmp_path):
+    """batch_size far above the split size: the whole train epoch is ONE
+    heavily padded batch (device path tiles the permutation cyclically,
+    host path zero-pads), so there is no cross-step compounding and the
+    padded train loss must match the host loop almost exactly — the
+    sharpest final-batch-composition differential."""
+    import numpy as np
+
+    from deepards_tpu.config import Configuration
+    from deepards_tpu.train.loop import make_trainer
+
+    def run(extra, d):
+        conf = Configuration(overrides=dict(
+            data_path=synthetic_cohort["data_path"],
+            cohort_file=synthetic_cohort["cohort_file"],
+            experiment_num=1,
+            network="cnn_linear",
+            base_network="densenet18",
+            dataset_type="unpadded_centered_sequences",
+            n_sub_batches=2,
+            kfolds=2,
+            only_fold=0,
+            epochs=1,
+            batch_size=256,
+            compute_dtype="float32",
+            results_dir=str(d),
+            seed=11,
+            **extra,
+        ))
+        t = make_trainer(conf, verbose=False)
+        t.train_and_test()
+        return (
+            list(t.results.get_meter("loss_epoch_1", 0).values),
+            t.last_train_count,
+        )
+
+    dev, n_train = run(dict(device_cache=True), tmp_path / "dev")
+    host, _ = run(dict(device_cache=False), tmp_path / "host")
+    assert n_train < 256, "fixture outgrew the single-batch premise"
+    assert len(dev) == len(host) == 1
+    np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-6)
 
 
 def test_device_cache_split_smaller_than_batch(synthetic_cohort, tmp_path):
