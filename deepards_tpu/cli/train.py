@@ -196,6 +196,13 @@ def main(argv=None):
     # oversample alias quirk (reference: train_ards_detector.py:80-83)
     if "oversample" in conf.conf and conf.get("oversample") is not None:
         conf.conf["oversample_minority"] = conf.conf["oversample"]
+    if conf.get("save_model_per_epoch") and not conf.get("save_model"):
+        # the reference raises here too (train_ards_detector.py:1587);
+        # silently dropping per-epoch saves loses checkpoints the user
+        # asked for
+        raise SystemExit(
+            "Must specify a filename to save your model using --save-model"
+        )
 
     from deepards_tpu.train.loop import make_trainer
 

@@ -7,6 +7,10 @@ import pytest
 from deepards_tpu.data.dataset import ARDSRawDataset
 from deepards_tpu.data.img_dataset import ImgARDSDataset
 
+# full-sweep module: heavyweight e2e/differential tests, excluded from
+# the default quick gate (run with `pytest -m ''`)
+pytestmark = pytest.mark.slow
+
 RNGS = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
 
 

@@ -18,6 +18,10 @@ import types
 import numpy as np
 import pytest
 
+# full-sweep module: heavyweight e2e/differential tests, excluded from
+# the default quick gate (run with `pytest -m ''`)
+pytestmark = pytest.mark.slow
+
 REF_AUG = "/root/reference/deepards/augmentation.py"
 TARBALL = "/root/reference/build/static/ucdpvanalysis-1.5.tar.gz"
 

@@ -11,6 +11,10 @@ import yaml
 from deepards_tpu.config import Configuration
 from deepards_tpu.train.loop import make_trainer
 
+# full-sweep module: heavyweight e2e/differential tests, excluded from
+# the default quick gate (run with `pytest -m ''`)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def trained_run(synthetic_cohort, tmp_path_factory):
@@ -337,3 +341,15 @@ def test_serve_inference(trained_run):
             assert "error" in json.load(e)
     finally:
         server.shutdown()
+
+
+def test_save_per_epoch_without_save_model_errors():
+    """The reference raises when --save-model-per-epoch is given without
+    --save-model (train_ards_detector.py:1587); silently dropping the
+    per-epoch saves would lose checkpoints the user asked for."""
+    import pytest
+
+    from deepards_tpu.cli.train import main
+
+    with pytest.raises(SystemExit, match="--save-model"):
+        main(["--save-model-per-epoch", "-dp", "/nonexistent"])

@@ -23,6 +23,10 @@ import types
 import numpy as np
 import pytest
 
+# full-sweep module: heavyweight e2e/differential tests, excluded from
+# the default quick gate (run with `pytest -m ''`)
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 REF_DATASET = "/root/reference/deepards/dataset.py"

@@ -5,6 +5,10 @@ import pytest
 from deepards_tpu.config import Configuration
 from deepards_tpu.train.loop import Trainer
 
+# full-sweep module: heavyweight e2e/differential tests, excluded from
+# the default quick gate (run with `pytest -m ''`)
+pytestmark = pytest.mark.slow
+
 
 def _conf(synthetic_cohort, **over):
     base = dict(
