@@ -429,14 +429,17 @@ def _measured_stream_gbps():
         _force(stream(xb)[:1])
         _force(stream(xs_)[:1])
         # the small-array run measures the dispatch floor; the big run
-        # adds iters * 2 * 4 * n bytes of traffic on top of it
-        t_big = _median_time(lambda: _force(stream(xb)[:1]), repeats=5)
-        t_small = _median_time(lambda: _force(stream(xs_)[:1]), repeats=5)
-        if t_big <= t_small:
-            return None
-        return (
-            iters * 2 * 4 * (big - small) / (t_big - t_small) / 1e9
-        )
+        # adds iters * 2 * 4 * n bytes of traffic on top of it.  One
+        # retry: a cold tunnel can invert the first pair of medians.
+        for _ in range(2):
+            t_big = _median_time(lambda: _force(stream(xb)[:1]), repeats=5)
+            t_small = _median_time(
+                lambda: _force(stream(xs_)[:1]), repeats=5)
+            if t_big > t_small:
+                return (
+                    iters * 2 * 4 * (big - small) / (t_big - t_small) / 1e9
+                )
+        return None
     except Exception:
         return None
 
@@ -532,13 +535,15 @@ def _attainable_mfu(step_fn, *args, peak_tflops):
     return {
         "attainable_mfu_convs": round(attainable, 4),
         "conv_flops_tflop_per_step": round(total_flops / 1e12, 6),
+        # compact strings: "<GEMM> x<count> f<flops frac> u<MXU util>"
+        # (the headline line must stay well under the driver's 2000-char
+        # stdout tail window)
         "top_convs_by_attainable_time": [
-            {
-                "gemm": k,
-                "x": v["count"],
-                "flops_frac": round(v["flops"] / total_flops, 3),
-                "mxu_util": round(v["util"], 3),
-            }
+            "{} x{} f{} u{}".format(
+                k, v["count"],
+                round(v["flops"] / total_flops, 3),
+                round(v["util"], 3),
+            )
             for k, v in top
         ],
     }
@@ -766,7 +771,23 @@ def config7():
     ``parallel_folds: true`` (train/parallel_folds.py)."""
     from deepards_tpu.models.densenet1d import densenet18
 
-    return _vmapped_folds_config(densenet18, _steps(7))
+    out = _vmapped_folds_config(densenet18, _steps(7))
+    # measured honestly: seq/s counts TOTAL fold-work (5 folds x batch),
+    # so compare against config 1's single-fold rate directly.  For
+    # densenet18 the vmapped folds run at ~0.82x of the single-fold rate
+    # per unit of work: each fold carries its own weights, so XLA lowers
+    # the convs as a batch-of-5 of the same N=32-poor GEMMs plus 5x
+    # weight traffic — unlike resnet18 (config 2), whose wide channels
+    # make fold-vmapping a large MFU win.  The CV-level win of
+    # parallel_folds here is operational (one dispatch stream, one
+    # compile, host freed), not raw throughput.
+    out["note"] = (
+        "seq/s counts total fold-work across the 5 simultaneous folds; "
+        "compare to config 1 for the per-fold-work rate (densenet18 "
+        "fold-vmapping trades ~18% raw throughput for 5x fewer "
+        "dispatches/compiles; resnet18 in config 2 is the MFU-win case)"
+    )
+    return out
 
 
 def config5():
@@ -1008,17 +1029,23 @@ def config6():
     )
 
     # big enough that one epoch amortizes the per-epoch dispatch floor;
-    # the assembled window cache is persisted so only the first run pays
-    # the minutes-scale host ETL.  Under a tight budget (driver host,
-    # effort scale lowered by main()) a quarter-size cohort keeps the
-    # number landing — the reduced size is stamped into the line.
+    # the assembled window cache is persisted REPO-LOCALLY (like the XLA
+    # compile cache) so only the first run on a checkout pays the
+    # minutes-scale host ETL — the driver's round-end run rides this
+    # session's cache.  Under a tight budget (driver host, effort scale
+    # lowered by main()) a quarter-size cohort keeps the number landing —
+    # the reduced size is stamped into the line.
+    bench_dir = os.path.dirname(os.path.abspath(__file__))
     reduced = _EFFORT["scale"] < 0.7
     if reduced:
-        cohort_dir = "/tmp/deepards_bench_cohort_v3_small"
-        n_patients, n_breaths = 8, 12000
+        # 10 patients, not 8: stratified kfolds=5 needs >=5 per class
+        n_patients, n_breaths = 10, 9600
     else:
-        cohort_dir = "/tmp/deepards_bench_cohort_v3"
         n_patients, n_breaths = 16, 24000
+    # the dirname encodes the cohort size so a plan change can never
+    # silently reuse a stale cached cohort of a different shape
+    cohort_dir = os.path.join(
+        bench_dir, ".bench_cohort_{}pt_{}br".format(n_patients, n_breaths))
     cache_npz = os.path.join(cohort_dir, "window_cache.npz")
     if not os.path.exists(os.path.join(cohort_dir,
                                        "cohort-description.csv")):
@@ -1741,9 +1768,17 @@ def main():
             summary["c{}".format(cfg)] = "error"
 
     # planned driver-host cost per remaining config (seconds, compile-
-    # dominated; calibrated to the r04 driver artifact's wall_s values
-    # minus the eval-2N compile this round removed)
-    plan = {1: 300, 6: 150, 3: 80, 4: 100, 2: 140, 5: 110, 7: 120}
+    # dominated; calibrated to a measured COLD-cache full run on the
+    # driver host, r5: c1 110, c6 198 incl. ETL, c3 147, c4 ~115 full,
+    # c2 ~175 full, c5 ~125 full, c7 ~100 full).  With the repo-local
+    # XLA compile cache + persisted c6 cohort warm, actual walls drop
+    # several-fold and the scale clamps at 1.0.
+    plan = {1: 110, 6: 200, 3: 150, 4: 115, 2: 175, 5: 125, 7: 100}
+    # budget held back from the config loop for the deferred
+    # attestations below (headline trace + stream roofline + the c5
+    # wide-batch experiment): measure windows shrink so these never
+    # starve (VERDICT r4 #5/#8)
+    reserve_s = 110.0
 
     t0 = time.perf_counter()
     headline = run_config(1, baseline, instrument=False)
@@ -1760,7 +1795,8 @@ def main():
             }
         else:
             planned_rest = sum(plan[m] for m in order[i:])
-            _EFFORT["scale"] = min(1.0, remaining() / max(planned_rest, 1))
+            _EFFORT["scale"] = min(1.0, max(
+                0.05, (remaining() - reserve_s) / max(planned_rest, 1)))
             try:
                 t0 = time.perf_counter()
                 out = strip(run_config(n, baseline, instrument=False))
@@ -1781,9 +1817,36 @@ def main():
         print(json.dumps(out), flush=True)
     _EFFORT["scale"] = 1.0
 
-    # config 5's measured optimization experiment (VERDICT r4 #5)
-    if remaining() > 90 and "c5" in summary and isinstance(
-            summary["c5"], dict):
+    # ---- deferred attestations, cheapest-first so a shrinking budget
+    # degrades one experiment at a time instead of all-or-nothing
+    # (VERDICT r4 #5/#8).  The config loop above held back ``reserve_s``
+    # for these.
+    # 1. headline trace breakdown (TC busy + HLO category split +
+    #    counter-measured HBM) — the core bandwidth-boundness evidence
+    instrumented = []
+    if remaining() > 15 and headline.get("_trace_fn") is not None:
+        bd = _trace_breakdown(headline["_trace_fn"])
+        if bd:
+            headline.update(bd)
+            instrumented.append("trace")
+    # 2. measured stream roofline (attainable HBM GB/s on this chip)
+    if remaining() > 25:
+        gbps = _measured_stream_gbps()
+        if gbps:
+            headline["measured_stream_gbps"] = round(gbps, 1)
+            if headline.get("_implied_gbps") is not None:
+                headline["implied_vs_measured_stream"] = round(
+                    headline["_implied_gbps"] / gbps, 3)
+            instrumented.append("stream")
+    headline["instrumentation"] = {
+        2: "full",
+        1: "{} only (budget)".format(
+            instrumented[0] if instrumented else ""),
+        0: "skipped (budget)",
+    }[len(instrumented)]
+
+    # 3. config 5's measured optimization experiment (VERDICT r4 #5)
+    if remaining() > 55 and isinstance(summary.get("c5"), dict):
         try:
             wide5 = config5_wide()
             summary["c5"]["batch64_train_seq_s"] = round(
@@ -1791,24 +1854,8 @@ def main():
         except Exception:
             pass
 
-    # deferred headline instrumentation: full if budget allows, else a
-    # compressed trace-only pass (VERDICT r4 #8: never a full skip while
-    # any budget remains)
-    if remaining() > 50:
-        _instrument_headline(
-            headline, headline.get("_trace_fn"),
-            headline.get("_implied_gbps"),
-        )
-    elif remaining() > 20 and headline.get("_trace_fn") is not None:
-        bd = _trace_breakdown(headline["_trace_fn"])
-        if bd:
-            headline.update(bd)
-            headline["instrumentation"] = "trace only (budget)"
-        else:
-            headline["instrumentation"] = "skipped (budget)"
-    else:
-        headline["instrumentation"] = "skipped (budget)"
-    if remaining() > 90:
+    # 4. headline wide-batch experiment
+    if remaining() > 85:
         try:
             t0 = time.perf_counter()
             wide = config1_wide()
