@@ -52,11 +52,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# persist XLA compilations in a REPO-LOCAL cache: on the 1-core driver
-# host, compiles dominate the bench budget (r04: the headline alone ate
-# 377 s cold).  The committed cache ships this machine's TPU executables;
-# on a matching jax/libtpu/chip the driver's run starts warm, and any
-# mismatch is just a cache miss (entries are content-keyed).
+# persist XLA compilations in a REPO-LOCAL cache (gitignored): on the
+# 1-core driver host, compiles dominate the bench budget (r04: the
+# headline alone ate 377 s cold).  Runs in the same checkout — e.g. the
+# driver's round-end run after a build session — start warm; a fresh
+# clone simply pays cold compiles, which the adaptive effort scaling in
+# main() absorbs (entries are content-keyed, so staleness is impossible).
 _CACHE_DIR = os.environ.get(
     "BENCH_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -787,6 +788,84 @@ def config7():
         "fold-vmapping trades ~18% raw throughput for 5x fewer "
         "dispatches/compiles; resnet18 in config 2 is the MFU-win case)"
     )
+    return out
+
+
+def dtw_bench_line(baseline_env=None):
+    """Config 8 (extra, not in the BASELINE contract): the DTW
+    subsystem's hot kernel — batched anti-diagonal Pallas wavefront DTW
+    over 224-sample window pairs (ops/dtw.py), replacing the reference's
+    C-backed dtwco calls behind a multiprocessing pool.  The reference
+    estimates the naive full pairwise sweep at ~25,000 CPU-hours and its
+    sampled sweep at ~4.5 days (reference: deepards/dtw_lib.py:258-274).
+    vs_baseline here is our own -O3 C++ host DP (ops/native/dtw.cpp) on
+    this host's single core — a stand-in for dtwco's C speed, measured
+    in the same process."""
+    import functools
+
+    from deepards_tpu.ops import dtw as dtw_ops
+
+    n = LEN
+    # big enough to amortize the ~27ms tunnel dispatch floor (measured
+    # knee: 4096 pairs -> 128k pairs/s, 65536 -> 416k pairs/s)
+    pairs = 65536
+    k = jax.random.PRNGKey(0)
+
+    def make(p, salt):
+        kk = jax.random.fold_in(k, salt)
+        k1, k2 = jax.random.split(kk)
+        return (jax.random.normal(k1, (p, n), jnp.float32),
+                jax.random.normal(k2, (p, n), jnp.float32))
+
+    fn = jax.jit(functools.partial(dtw_ops.dtw_pallas))
+    a1, b1 = make(pairs, 1)
+    a2, b2 = make(2 * pairs, 2)
+    _force(fn(a1, b1))
+    _force(fn(a2, b2))
+    t1 = _median_time(lambda: _force(fn(a1, b1)))
+    t2 = _median_time(lambda: _force(fn(a2, b2)))
+    linearity = t2 / t1
+    if linearity < 1.5:
+        raise RuntimeError(
+            "DTW linearity self-check failed ({:.2f})".format(linearity))
+    pairs_per_sec = pairs / t1
+
+    # C++ host baseline on a small slice (single core, -O3)
+    vs_cpp = cpp_rate = None
+    try:
+        from deepards_tpu.ops.native import load_native_dtw
+
+        native = load_native_dtw()
+        if native is not None:
+            nb = 64
+            an = np.asarray(a1[:nb])
+            bn = np.asarray(b1[:nb])
+            ln = np.full(nb, n, np.int32)
+            native(an, bn, ln, ln)  # warm
+            t_c = _median_time(lambda: native(an, bn, ln, ln), repeats=3)
+            cpp_rate = nb / t_c
+            vs_cpp = pairs_per_sec / cpp_rate
+    except Exception:
+        pass
+
+    out = {
+        "metric": "dtw_224x224_pairs_per_sec",
+        "value": round(pairs_per_sec, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(vs_cpp, 2) if vs_cpp else None,
+        "config": 8,
+        "config_name": "dtw_pallas_wavefront_kernel",
+        "linearity_2n_over_n": round(linearity, 3),
+        "cell_updates_per_sec": round(pairs_per_sec * n * n, 1),
+        "baseline_note": (
+            "own -O3 C++ host DP (ops/native/dtw.cpp) on one core, the "
+            "dtwco-C stand-in; reference estimated the naive full "
+            "pairwise sweep at ~25,000 CPU-hours (dtw_lib.py:258-274)"
+        ),
+        "baseline_env": baseline_env,
+    }
+    if cpp_rate is not None:
+        out["cpp_host_pairs_per_sec"] = round(cpp_rate, 1)
     return out
 
 
@@ -1702,7 +1781,7 @@ def _ensure_baselines(path, budget_fn=None, force=False):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=None,
-                    choices=sorted(CONFIGS),
+                    choices=sorted(CONFIGS) + [8],
                     help="run one config; default runs ALL configs, one "
                     "JSON line each, headline config 1 LAST")
     ap.add_argument("--measure-torch-baseline", action="store_true",
@@ -1719,6 +1798,9 @@ def main():
         return
 
     if args.config:
+        if args.config == 8:  # standalone line, not a run_config config
+            print(json.dumps(dtw_bench_line(_baseline_env())), flush=True)
+            return
         baseline = _ensure_baselines(baseline_file)
         print(json.dumps(strip(run_config(args.config, baseline))),
               flush=True)
@@ -1854,7 +1936,20 @@ def main():
         except Exception:
             pass
 
-    # 4. headline wide-batch experiment
+    # 4. the DTW subsystem's kernel line (extra beyond the BASELINE
+    #    contract: the reference's single biggest non-NN compute)
+    if remaining() > 60:
+        try:
+            dtw_out = dtw_bench_line((baseline or {}).get("env"))
+            print(json.dumps(dtw_out), flush=True)
+            summary["c8"] = {
+                "pairs_s": dtw_out["value"],
+                "vs_cpp_host": dtw_out.get("vs_baseline"),
+            }
+        except Exception:
+            pass
+
+    # 5. headline wide-batch experiment
     if remaining() > 85:
         try:
             t0 = time.perf_counter()
