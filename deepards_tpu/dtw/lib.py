@@ -16,34 +16,76 @@ import pandas as pd
 from deepards_tpu.ops.dtw import dtw_batch
 
 
-def _pad_pairs(seqs_a, seqs_b):
-    """Ragged pair lists -> padded (B, n) arrays + length vectors."""
+def _pad_pairs(seqs_a, seqs_b, width_bucket=64, batch_bucket=True):
+    """Ragged pair lists -> padded (B, n) arrays + length vectors.
+
+    Both dims are bucketed so the device kernel sees a handful of
+    compiled shapes across a whole similarity sweep instead of one per
+    chunk: the width rounds up to a multiple of ``width_bucket`` and the
+    batch to the next power of two (>=128).  Pad rows carry length 1
+    (a 1x1 DP is valid and ignored); per-pair results are independent of
+    both paddings because the kernel masks by (la, lb)."""
     n = max(
         max((len(a) for a in seqs_a), default=1),
         max((len(b) for b in seqs_b), default=1),
     )
+    n = -(-n // width_bucket) * width_bucket
     bsz = len(seqs_a)
-    a = np.zeros((bsz, n), np.float32)
-    b = np.zeros((bsz, n), np.float32)
-    la = np.zeros(bsz, np.int32)
-    lb = np.zeros(bsz, np.int32)
-    for i, (x, y) in enumerate(zip(seqs_a, seqs_b)):
-        a[i, : len(x)] = x
-        b[i, : len(y)] = y
-        la[i] = len(x)
-        lb[i] = len(y)
+    padded_bsz = bsz
+    if batch_bucket:
+        padded_bsz = 128
+        while padded_bsz < bsz:
+            padded_bsz *= 2
+    def fill(seqs):
+        dst = np.zeros((padded_bsz, n), np.float32)
+        lens = np.ones(padded_bsz, np.int32)
+        if bsz:
+            ls = np.fromiter((len(s) for s in seqs), np.int64, count=bsz)
+            lens[:bsz] = ls
+            # vectorized ragged scatter: row r gets seqs[r][:ls[r]]
+            rows = np.repeat(np.arange(bsz), ls)
+            starts = np.cumsum(ls) - ls
+            cols = np.arange(ls.sum()) - np.repeat(starts, ls)
+            dst[rows, cols] = np.concatenate(
+                [np.asarray(s, np.float32).ravel() for s in seqs]
+            )
+        return dst, lens
+
+    a, la = fill(seqs_a)
+    b, lb = fill(seqs_b)
     return a, b, la, lb
 
 
-def batched_dtw_pairs(seqs_a, seqs_b, chunk=512):
-    """DTW distance for each (seqs_a[i], seqs_b[i]) pair; ragged input."""
-    out = np.zeros(len(seqs_a), np.float64)
-    for start in range(0, len(seqs_a), chunk):
+def batched_dtw_pairs(seqs_a, seqs_b, chunk=8192):
+    """DTW distance for each (seqs_a[i], seqs_b[i]) pair; ragged input.
+
+    Dispatch discipline (the kernel compiles per (B, n) shape):
+    - pairs are processed in length-sorted order, so one long outlier
+      inflates the padded width of one chunk, not every chunk;
+    - chunks are LARGE: the wavefront kernel only saturates the chip
+      well past 4k pairs (measured knee, bench.py config 8: 4096 pairs
+      -> 128k pairs/s, 65536 -> 416k; the old 512-pair chunks ran
+      floor-dominated at ~20k pairs/s);
+    - shapes are bucketed by ``_pad_pairs`` so repeated sweeps hit the
+      XLA compile cache.
+    Results are scattered back to input order; each pair's DP runs in
+    its own lanes, so values are independent of chunking and sorting.
+    """
+    m = len(seqs_a)
+    out = np.zeros(m, np.float64)
+    if m == 0:
+        return out
+    order = np.argsort(
+        [max(len(a), len(b)) for a, b in zip(seqs_a, seqs_b)],
+        kind="stable",
+    )
+    for start in range(0, m, chunk):
+        idx = order[start : start + chunk]
         a, b, la, lb = _pad_pairs(
-            seqs_a[start : start + chunk], seqs_b[start : start + chunk]
+            [seqs_a[i] for i in idx], [seqs_b[i] for i in idx]
         )
-        out[start : start + len(a)] = np.asarray(
-            dtw_batch(a, b, la, lb), np.float64
+        out[idx] = np.asarray(
+            dtw_batch(a, b, la, lb)[: len(idx)], np.float64
         )
     return out
 

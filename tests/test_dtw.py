@@ -337,3 +337,26 @@ def test_find_similar_cam_regions(synthetic_cohort):
     assert pairs  # with no thresholds every run qualifies
     run = pairs[0]["run"]
     assert len(run["seq1"]) == len(run["seq2"]) > 5
+
+
+def test_batched_dtw_pairs_sorted_chunks_scatter_identity():
+    """The length-sorted, shape-bucketed dispatch (chunk 8192, batch
+    padded to a power of two, width to a multiple of 64) must return
+    per-pair values identical to an unchunked per-pair oracle, in input
+    order — including a ragged long outlier and a non-power-of-two
+    pair count that forces batch padding."""
+    from deepards_tpu.dtw.lib import batched_dtw_pairs
+
+    rng = np.random.default_rng(11)
+    lens = list(rng.integers(25, 90, size=13)) + [301]  # one long outlier
+    seqs_a = [rng.normal(size=n).astype(np.float32) for n in lens]
+    seqs_b = [rng.normal(size=n).astype(np.float32) for n in lens]
+    # tiny chunk forces multiple dispatches AND exercises the scatter
+    out_chunked = batched_dtw_pairs(seqs_a, seqs_b, chunk=5)
+    out_default = batched_dtw_pairs(seqs_a, seqs_b)
+    oracle = np.array([
+        dtw_numpy(a, b) for a, b in zip(seqs_a, seqs_b)
+    ])
+    np.testing.assert_allclose(out_chunked, oracle, rtol=1e-4)
+    np.testing.assert_allclose(out_default, oracle, rtol=1e-4)
+    np.testing.assert_allclose(out_chunked, out_default, rtol=1e-6)
